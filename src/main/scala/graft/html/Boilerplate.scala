@@ -1,0 +1,207 @@
+package graft.html
+
+import scala.collection.mutable
+import graft.ids.Identifiers
+
+/** Text-density boilerplate classification + structured-field DOM
+  * heuristics — the "main-content extraction" core mandated by the north
+  * rule (HTML boilerplate strip, DOM heuristics). New capability relative
+  * to the reference, which only does targeted CSS-selector reads
+  * (/root/reference/src/webscrapers.py:129-151); the density approach is
+  * the standard public one (CETD/Arc90-style: chars-per-tag with link
+  * density penalty).
+  *
+  * Deterministic contract: for a page whose main container holds clean
+  * paragraph blocks and whose boilerplate (nav/header/footer/sidebar/ads)
+  * is link-dense or short, `extract` returns the main container's block
+  * texts, whitespace-normalized, joined with "\n" — byte-identical to the
+  * corpus generator's golden.
+  */
+object Boilerplate {
+
+  final case class Extraction(
+      mainText: String,
+      title: Option[String],
+      abstractText: Option[String],
+      doi: Option[String],
+      citationSpans: List[String])
+
+  private val BlockTags = Set(
+    "p", "div", "article", "main", "section", "h1", "h2", "h3", "h4", "h5",
+    "h6", "li", "ul", "ol", "blockquote", "pre", "td", "th", "table",
+    "header", "footer", "nav", "aside", "body", "figcaption", "dd", "dt")
+
+  private val DropTags = Set(
+    "script", "style", "noscript", "template", "iframe", "svg", "form",
+    "button", "select", "option")
+
+  private val ContainerTags = Set(
+    "main", "article", "section", "div", "body", "td", "blockquote")
+
+  /** Per-element aggregate stats, computed in one bottom-up pass. */
+  private final class Stats {
+    var textChars: Int = 0
+    var linkChars: Int = 0
+    var leafScore: Double = 0.0 // signed content score of leaf blocks below
+    var depth: Int = 0
+  }
+
+  def extract(html: String): Extraction = extract(HtmlParser.parse(html))
+
+  def extract(root: HElem): Extraction = {
+    val main = mainContainer(root)
+    val mainText = main.map(blockTexts(_).mkString("\n")).getOrElse("")
+    Extraction(
+      mainText = mainText,
+      title = findTitle(root),
+      abstractText = findAbstract(root),
+      doi = findDoi(root, mainText),
+      citationSpans = findCitations(root))
+  }
+
+  /** The density classifier: pick the container maximizing signed leaf
+    * score (content leaves add len*(1-linkDensity); boilerplate leaves
+    * subtract their length, so enclosing everything — e.g. body — loses
+    * to the tight main block whenever real boilerplate exists).
+    * Ties break toward the deeper (tighter) container.
+    */
+  def mainContainer(root: HElem): Option[HElem] = {
+    val stats = mutable.AnyRefMap.empty[HElem, Stats]
+
+    def compute(e: HElem, depth: Int, inLink: Boolean): Stats = {
+      val s = new Stats
+      s.depth = depth
+      if (DropTags.contains(e.tag)) { stats.update(e, s); return s }
+      var ownText = 0
+      e.children.foreach {
+        case t: HText =>
+          val len = normLen(t.data)
+          ownText += len
+          s.textChars += len
+          if (inLink) s.linkChars += len
+        case c: HElem =>
+          val cs = compute(c, depth + 1, inLink || c.tag == "a")
+          s.textChars += cs.textChars
+          s.linkChars += cs.linkChars
+          s.leafScore += cs.leafScore
+        case _ => ()
+      }
+      // leaf block: a block element none of whose element children are
+      // themselves blocks — the unit the classifier scores
+      val isLeafBlock = BlockTags.contains(e.tag) &&
+        !e.elemChildren.exists(c => BlockTags.contains(c.tag)) &&
+        s.textChars > 0
+      if (isLeafBlock) {
+        val linkDensity =
+          if (s.textChars == 0) 0.0 else s.linkChars.toDouble / s.textChars
+        s.leafScore +=
+          (if (s.textChars >= 25 && linkDensity <= 0.30)
+             s.textChars * (1.0 - linkDensity)
+           else -s.textChars.toDouble)
+      }
+      stats.update(e, s)
+      s
+    }
+    compute(root, 0, inLink = false)
+
+    val candidates = root.descendants
+      .filter(e => ContainerTags.contains(e.tag))
+      .map(e => (e, stats(e)))
+      .filter(_._2.leafScore > 0)
+      .toList
+    if (candidates.isEmpty) None
+    else Some(candidates.maxBy { case (_, s) => (s.leafScore, s.depth) }._1)
+  }
+
+  /** Document-order normalized texts of the leaf blocks inside a
+    * container (the paragraphs of the main content). */
+  def blockTexts(container: HElem): List[String] = {
+    val out = mutable.ListBuffer.empty[String]
+    def walk(e: HElem): Unit = {
+      if (DropTags.contains(e.tag)) return
+      val childBlocks = e.elemChildren.filter(c => BlockTags.contains(c.tag))
+      val isLeaf = BlockTags.contains(e.tag) && childBlocks.isEmpty
+      if (isLeaf) {
+        val t = e.normalizedText
+        if (t.nonEmpty) out += t
+      } else {
+        e.elemChildren.foreach(walk)
+      }
+    }
+    val selfBlocks = container.elemChildren.filter(c => BlockTags.contains(c.tag))
+    if (selfBlocks.isEmpty) {
+      val t = container.normalizedText
+      if (t.nonEmpty) out += t
+    } else container.elemChildren.foreach(walk)
+    out.toList
+  }
+
+  private def normLen(s: String): Int = {
+    // length of whitespace-collapsed text
+    var count = 0
+    var lastWs = true
+    var i = 0
+    while (i < s.length) {
+      val ws = s.charAt(i).isWhitespace
+      if (!ws) { count += 1; lastWs = false }
+      else if (!lastWs) { count += 1; lastWs = true }
+      i += 1
+    }
+    if (lastWs && count > 0) count - 1 else count
+  }
+
+  // --- structured-field heuristics ---------------------------------------
+
+  def findTitle(root: HElem): Option[String] = {
+    Selectors.cssFirst(root, "h1").map(_.normalizedText).filter(_.nonEmpty)
+      .orElse(Selectors.cssFirst(root, "title").map(_.normalizedText).filter(_.nonEmpty))
+  }
+
+  def findAbstract(root: HElem): Option[String] = {
+    root.descendants.find { e =>
+      val marker = (e.attrs.getOrElse("class", "") + " " + e.attrs.getOrElse("id", ""))
+        .toLowerCase(java.util.Locale.ROOT)
+      marker.contains("abstract") && BlockTags.contains(e.tag)
+    }.map { e =>
+      val texts = blockTexts(e)
+      // skip a leading "Abstract" heading block if present
+      val body = texts match {
+        case h :: rest if h.equalsIgnoreCase("abstract") => rest
+        case other => other
+      }
+      body.mkString("\n")
+    }.filter(_.nonEmpty)
+  }
+
+  def findDoi(root: HElem, mainText: String): Option[String] = {
+    val meta = root.descendants.find(e =>
+      e.tag == "meta" &&
+        e.attr("name").exists(n => n == "citation_doi" || n == "dc.identifier"))
+      .flatMap(_.attr("content"))
+    meta.flatMap(c => Identifiers.extract(c))
+      .orElse {
+        root.descendants.find { e =>
+          (e.attrs.getOrElse("class", "") + e.attrs.getOrElse("id", ""))
+            .toLowerCase(java.util.Locale.ROOT).contains("doi")
+        }.flatMap(e => Identifiers.extract(e.normalizedText))
+      }
+      .orElse(Identifiers.extract(mainText))
+  }
+
+  def findCitations(root: HElem): List[String] = {
+    val viaClass = root.descendants.filter { e =>
+      val marker = (e.attrs.getOrElse("class", "") + " " + e.attrs.getOrElse("id", ""))
+        .toLowerCase(java.util.Locale.ROOT)
+      e.tag == "cite" || marker.split("[\\s_-]").exists(w => w == "ref" || w == "citation" || w == "reference")
+    }.toList
+    // keep only leaf-most citation nodes (avoid container duplication)
+    viaClass.filter(e => !viaClass.exists(o => (o ne e) && isAncestor(e, o)))
+      .map(_.normalizedText).filter(_.nonEmpty)
+  }
+
+  private def isAncestor(anc: HElem, node: HElem): Boolean = {
+    var p = node.parent
+    while (p != null) { if (p eq anc) return true; p = p.parent }
+    false
+  }
+}

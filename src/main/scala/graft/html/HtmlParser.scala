@@ -1,0 +1,194 @@
+package graft.html
+
+import scala.collection.mutable
+
+/** From-scratch HTML tokenizer + tree builder.
+  *
+  * A pragmatic HTML5-ish parser (not a full spec implementation): handles
+  * tags, attributes in all four quoting forms, void elements, rawtext
+  * elements (script/style), comments, doctype, entities, and unbalanced
+  * close tags. Designed for one-instance-per-partition reuse inside
+  * `mapPartitions` (the Spark analog of the reference's module-global
+  * parser/session reuse, /root/reference/src/webscrapers.py:24).
+  */
+object HtmlParser {
+
+  private val VoidTags = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr")
+
+  private val RawTextTags = Set("script", "style", "textarea", "title")
+
+  /** Tags whose open implicitly closes an open <p>. */
+  private val PClosers = Set(
+    "address", "article", "aside", "blockquote", "div", "dl", "fieldset",
+    "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr",
+    "main", "nav", "ol", "p", "pre", "section", "table", "ul")
+
+  def parse(html: String): HElem = {
+    // lowercased copy computed once: rawtext close-tag search must be
+    // case-insensitive and must not re-lowercase per <script> block
+    val lower = html.toLowerCase(java.util.Locale.ROOT)
+    val root = HElem("#root")
+    val stack = mutable.Stack[HElem](root)
+    var i = 0
+    val n = html.length
+    val text = new StringBuilder
+
+    def flushText(): Unit = {
+      if (text.nonEmpty) {
+        stack.top.append(new HText(Entities.decode(text.toString)))
+        text.clear()
+      }
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!') {
+          flushText()
+          if (html.startsWith("<!--", i)) {
+            val end = html.indexOf("-->", i + 4)
+            val stop = if (end < 0) n else end
+            stack.top.append(new HComment(html.substring(i + 4, stop)))
+            i = if (end < 0) n else end + 3
+          } else { // doctype / CDATA-ish: skip to '>'
+            val end = html.indexOf('>', i)
+            i = if (end < 0) n else end + 1
+          }
+        } else if (c1 == '/') {
+          flushText()
+          val end = html.indexOf('>', i)
+          val stop = if (end < 0) n else end
+          val tag = html.substring(i + 2, stop).trim.toLowerCase(java.util.Locale.ROOT)
+          // pop to the matching open tag if present; ignore stray closers
+          if (stack.exists(e => e.tag == tag)) {
+            while (stack.top.tag != tag) stack.pop()
+            if (stack.size > 1) stack.pop()
+          }
+          i = if (end < 0) n else end + 1
+        } else if (c1.isLetter) {
+          flushText()
+          val (elem, selfClosed, after) = parseTag(html, i)
+          i = after
+          val tag = elem.tag
+          if (PClosers.contains(tag)) {
+            // implicit </p>
+            if (stack.exists(_.tag == "p")) {
+              while (stack.top.tag != "p") stack.pop()
+              if (stack.size > 1) stack.pop()
+            }
+          }
+          stack.top.append(elem)
+          if (!selfClosed && !VoidTags.contains(tag)) {
+            if (RawTextTags.contains(tag)) {
+              // raw text until the matching close tag, no entity decoding
+              val closer = "</" + tag
+              val idx = lower.indexOf(closer, i)
+              val stop = if (idx < 0) n else idx
+              if (stop > i) elem.append(new HText(html.substring(i, stop)))
+              i = if (idx < 0) n else {
+                val gt = html.indexOf('>', idx)
+                if (gt < 0) n else gt + 1
+              }
+            } else {
+              stack.push(elem)
+            }
+          }
+        } else {
+          text.append(c); i += 1
+        }
+      } else {
+        text.append(c); i += 1
+      }
+    }
+    flushText()
+    root
+  }
+
+  /** Parse one open tag starting at `<`; returns (element, selfClosed,
+    * index after '>'). */
+  private def parseTag(html: String, start: Int): (HElem, Boolean, Int) = {
+    var i = start + 1
+    val n = html.length
+    val tagStart = i
+    while (i < n && (html.charAt(i).isLetterOrDigit || html.charAt(i) == '-')) i += 1
+    val tag = html.substring(tagStart, i).toLowerCase(java.util.Locale.ROOT)
+    val attrs = mutable.LinkedHashMap.empty[String, String]
+    var selfClosed = false
+    var done = false
+    while (i < n && !done) {
+      html.charAt(i) match {
+        case '>' => done = true; i += 1
+        case '/' if i + 1 < n && html.charAt(i + 1) == '>' =>
+          selfClosed = true; done = true; i += 2
+        case w if w.isWhitespace => i += 1
+        case _ =>
+          // attribute name
+          val nameStart = i
+          while (i < n && !html.charAt(i).isWhitespace &&
+                 html.charAt(i) != '=' && html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
+          val name = html.substring(nameStart, i).toLowerCase(java.util.Locale.ROOT)
+          while (i < n && html.charAt(i).isWhitespace) i += 1
+          if (i < n && html.charAt(i) == '=') {
+            i += 1
+            while (i < n && html.charAt(i).isWhitespace) i += 1
+            if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+              val q = html.charAt(i); i += 1
+              val vStart = i
+              while (i < n && html.charAt(i) != q) i += 1
+              attrs.update(name, Entities.decode(html.substring(vStart, i)))
+              if (i < n) i += 1
+            } else {
+              val vStart = i
+              while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '>') i += 1
+              attrs.update(name, Entities.decode(html.substring(vStart, i)))
+            }
+          } else if (name.nonEmpty) {
+            attrs.update(name, "")
+          } else {
+            i += 1 // defensive: avoid infinite loop on malformed input
+          }
+      }
+    }
+    (HElem(tag, attrs.toMap), selfClosed, i)
+  }
+}
+
+/** HTML entity decoding for the common named entities + numeric refs. */
+object Entities {
+  private val Named = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "mdash" -> "—", "ndash" -> "–",
+    "hellip" -> "…", "copy" -> "©", "reg" -> "®",
+    "ldquo" -> "“", "rdquo" -> "”", "lsquo" -> "‘",
+    "rsquo" -> "’", "times" -> "×", "middot" -> "·")
+
+  def decode(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = s.substring(i + 1, semi)
+          if (body.startsWith("#x") || body.startsWith("#X")) {
+            try { sb.appendAll(Character.toChars(Integer.parseInt(body.substring(2), 16))); i = semi + 1 }
+            catch { case _: Exception => sb += c; i += 1 }
+          } else if (body.startsWith("#")) {
+            try { sb.appendAll(Character.toChars(Integer.parseInt(body.substring(1)))); i = semi + 1 }
+            catch { case _: Exception => sb += c; i += 1 }
+          } else Named.get(body) match {
+            case Some(rep) => sb.append(rep); i = semi + 1
+            case None      => sb += c; i += 1
+          }
+        } else { sb += c; i += 1 }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ids
+
+/** The DOI-from-PDF handler cascade, offline form.
+  *
+  * Reference: /root/reference/src/doifrompdf.py:30-52. The reference's
+  * handler dict has a duplicate key (`find_identifier_in_text` appears
+  * twice, :44-45), so the title search is overwritten and only the
+  * preprint-text search runs — we keep that *effective* order:
+  *   1. metadata priority keys {doi, pdf2doi_identifier, arxiv}
+  *      (a Python set in the reference — iteration order is hash-seeded
+  *      and thus run-nondeterministic there; fixed here as doi,
+  *      pdf2doi_identifier, arxiv)
+  *   2. every other Info-dict value, scanned for identifiers
+  *   3. the extracted preprint text, scanned for identifiers
+  * Network validation (:166-190) and the Google fallback (:193-253) are
+  * dropped per SURVEY.md §7.5.
+  */
+object DoiCascade {
+
+  final case class DoiResult(identifier: String, identifierType: String)
+
+  private val PriorityKeys = List("doi", "pdf2doi_identifier", "arxiv")
+
+  def fromMetadata(metadata: Map[String, String]): Option[DoiResult] =
+    PriorityKeys.iterator
+      .flatMap(k => metadata.get(k).filter(_.nonEmpty).map(v => DoiResult(v, k)))
+      .nextOption()
+
+  def fromInfoValues(metadata: Map[String, String]): Option[DoiResult] =
+    metadata.iterator
+      .filter { case (k, _) => k != "wps-journaldoi" } // :101 (reference excludes "/wps-journaldoi")
+      .flatMap { case (_, v) => Identifiers.extract(v) }
+      .map(id => DoiResult(id, "text"))
+      .nextOption()
+
+  def fromText(preprint: String): Option[DoiResult] =
+    Identifiers.extract(preprint).map(id => DoiResult(id, "text"))
+
+  /** Full cascade over already-parsed metadata + text. */
+  def apply(metadata: Map[String, String], preprint: String): Option[DoiResult] =
+    fromMetadata(metadata)
+      .orElse(fromInfoValues(metadata))
+      .orElse(fromText(preprint))
+}

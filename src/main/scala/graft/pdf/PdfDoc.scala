@@ -1,0 +1,269 @@
+package graft.pdf
+
+import scala.collection.mutable
+import java.util.zip.Inflater
+
+/** Document-level PDF reader: object table, page tree, metadata, stream
+  * decoding. Robustness-first: objects are located by scanning for
+  * `N G obj` headers rather than trusting the xref table (tolerates
+  * incremental updates and slightly off offsets); FlateDecode is inflated
+  * via java.util.zip with zlib and raw fallbacks.
+  */
+final class PdfDoc(data: Array[Byte]) {
+
+  val objects: Map[(Int, Int), PObj] = {
+    val top = scanObjects()
+    top ++ expandObjectStreams(top)
+  }
+  private val trailerDict: Option[PDict] = findTrailer()
+
+  /** Objects stored inside /Type /ObjStm compressed streams (PDF 1.5+,
+    * ISO 32000-1 §7.5.7): header is N pairs "objnum offset", bodies start
+    * at /First. Needed for real-world fixtures like
+    * /root/reference/tests/test_dirs/test_pdf_1.pdf. */
+  private def expandObjectStreams(top: Map[(Int, Int), PObj]): Map[(Int, Int), PObj] = {
+    val out = mutable.LinkedHashMap.empty[(Int, Int), PObj]
+    top.values.foreach {
+      case st @ PStream(dict, _) if dict.get("Type").contains(PName("ObjStm")) =>
+        try {
+          val bytes = decodeStream(st)
+          val n = dict.get("N") match { case Some(PNum(v)) => v.toInt; case _ => 0 }
+          val first = dict.get("First") match { case Some(PNum(v)) => v.toInt; case _ => 0 }
+          val header = new PdfLexer(bytes, 0)
+          val pairs = (0 until n).map { _ =>
+            val num = header.parseNumber().toInt
+            val off = header.parseNumber().toInt
+            (num, off)
+          }
+          pairs.foreach { case (num, off) =>
+            try {
+              val lex = new PdfLexer(bytes, first + off)
+              out.update((num, 0), lex.parseObj())
+            } catch { case _: Exception => () }
+          }
+        } catch { case _: Exception => () }
+      case _ => ()
+    }
+    out.toMap
+  }
+
+  private def scanObjects(): Map[(Int, Int), PObj] = {
+    val out = mutable.LinkedHashMap.empty[(Int, Int), PObj]
+    val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val objPat = java.util.regex.Pattern.compile("(?m)(\\d+)\\s+(\\d+)\\s+obj\\b")
+    val m = objPat.matcher(s)
+    while (m.find()) {
+      val num = m.group(1).toInt
+      val gen = m.group(2).toInt
+      val lexer = new PdfLexer(data, m.end())
+      try {
+        val value = lexer.parseObj()
+        lexer.skipWs()
+        // stream payload?
+        val obj =
+          if (s.startsWith("stream", lexer.pos)) {
+            var p = lexer.pos + "stream".length
+            if (p < data.length && data(p) == '\r') p += 1
+            if (p < data.length && data(p) == '\n') p += 1
+            val dict = value.asInstanceOf[PDict]
+            val len = dict.get("Length") match {
+              case Some(PNum(v)) => Some(v.toInt)
+              case Some(r: PRef) => None // resolved below via endstream scan
+              case _             => None
+            }
+            val end = len match {
+              case Some(l) if p + l <= data.length &&
+                  s.indexOf("endstream", p + l) >= 0 &&
+                  s.substring(p + l, math.min(p + l + 20, s.length)).trim.startsWith("endstream") =>
+                p + l
+              case _ =>
+                val idx = s.indexOf("endstream", p)
+                if (idx < 0) data.length
+                else {
+                  // back off the EOL before endstream
+                  var e = idx
+                  if (e > 0 && data(e - 1) == '\n') e -= 1
+                  if (e > 0 && data(e - 1) == '\r') e -= 1
+                  e
+                }
+            }
+            PStream(dict, java.util.Arrays.copyOfRange(data, p, end))
+          } else value
+        out.update((num, gen), obj)
+      } catch { case _: Exception => () } // tolerate junk between objects
+    }
+    out.toMap
+  }
+
+  private def findTrailer(): Option[PDict] = {
+    val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    var idx = s.lastIndexOf("trailer")
+    while (idx >= 0) {
+      try {
+        val lexer = new PdfLexer(data, idx + "trailer".length)
+        return Some(lexer.parseObj().asInstanceOf[PDict])
+      } catch { case _: Exception => idx = s.lastIndexOf("trailer", idx - 1) }
+    }
+    // PDF 1.5+ cross-reference STREAM doubles as the trailer dict
+    objects.values.collectFirst {
+      case PStream(d, _) if d.get("Type").contains(PName("XRef")) => d
+    }
+  }
+
+  def resolve(o: PObj): PObj = o match {
+    case PRef(num, gen) => objects.get((num, gen)).map(resolve).getOrElse(PNull)
+    case other          => other
+  }
+
+  def resolveDict(o: PObj): Option[PDict] = resolve(o) match {
+    case d: PDict      => Some(d)
+    case PStream(d, _) => Some(d)
+    case _             => None
+  }
+
+  /** Info dictionary with pdfplumber-style keys (no leading slash),
+    * values as decoded strings. Reference consumer:
+    * /root/reference/src/doifrompdf.py:114-126. */
+  def metadata: Map[String, String] = {
+    val infoDict = trailerDict.flatMap(_.get("Info")).flatMap(resolveDict)
+      .orElse {
+        // fallback: any object that looks like an info dict
+        objects.values.collectFirst {
+          case d: PDict if d.get("Producer").isDefined || d.get("Title").isDefined => d
+        }
+      }
+    infoDict match {
+      case Some(PDict(m)) =>
+        m.collect { case (k, v) =>
+          val sv = resolve(v) match {
+            case s: PStr   => s.text
+            case PName(nm) => nm
+            case PNum(x)   => if (x == math.floor(x)) x.toLong.toString else x.toString
+            case PBool(b)  => b.toString
+            case _         => ""
+          }
+          k.stripPrefix("/") -> sv
+        }
+      case None => Map.empty
+    }
+  }
+
+  /** Pages in tree order. Each page: (dict, inherited resources, mediaBox). */
+  final case class Page(dict: PDict, resources: Option[PDict], mediaBox: Array[Double]) {
+    def height: Double = mediaBox(3) - mediaBox(1)
+  }
+
+  def pages: List[Page] = {
+    val catalog = trailerDict.flatMap(_.get("Root")).flatMap(resolveDict)
+      .orElse(objects.values.collectFirst {
+        case d: PDict if d.get("Type").contains(PName("Catalog")) => d
+      })
+    val rootPages = catalog.flatMap(_.get("Pages")).flatMap(resolveDict)
+
+    val out = mutable.ListBuffer.empty[Page]
+    def walk(node: PDict, inhRes: Option[PDict], inhBox: Option[Array[Double]]): Unit = {
+      val res = node.get("Resources").flatMap(resolveDict).orElse(inhRes)
+      val box = node.get("MediaBox").map(resolve) match {
+        case Some(PArr(xs)) if xs.length == 4 =>
+          Some(xs.map { case PNum(v) => v; case _ => 0.0 }.toArray)
+        case _ => inhBox
+      }
+      resolve(node.get("Type").getOrElse(PNull)) match {
+        case PName("Pages") =>
+          node.get("Kids").map(resolve) match {
+            case Some(PArr(kids)) =>
+              kids.foreach(k => resolveDict(k).foreach(walk(_, res, box)))
+            case _ => ()
+          }
+        case PName("Page") =>
+          out += Page(node, res, box.getOrElse(Array(0, 0, 612, 792)))
+        case _ => ()
+      }
+    }
+    rootPages.foreach(walk(_, None, None))
+    if (out.isEmpty) {
+      // fallback: collect raw Page objects in file order
+      objects.values.foreach {
+        case d: PDict if d.get("Type").contains(PName("Page")) =>
+          walk(d, None, None)
+        case _ => ()
+      }
+    }
+    out.toList
+  }
+
+  /** Concatenated decoded content-stream bytes for a page. */
+  def pageContent(page: Page): Array[Byte] = {
+    val streams: Seq[PStream] = page.dict.get("Contents").map(resolve) match {
+      case Some(st: PStream) => Seq(st)
+      case Some(PArr(xs)) =>
+        xs.flatMap(x => resolve(x) match { case st: PStream => Some(st); case _ => None })
+      case _ => Seq.empty
+    }
+    val bufs = streams.map(decodeStream)
+    if (bufs.length == 1) bufs.head
+    else {
+      // spec: multiple content streams behave as one separated by whitespace
+      val total = bufs.map(_.length).sum + math.max(0, bufs.length - 1)
+      val out = new Array[Byte](total)
+      var off = 0
+      bufs.zipWithIndex.foreach { case (b, i) =>
+        if (i > 0) { out(off) = '\n'; off += 1 }
+        System.arraycopy(b, 0, out, off, b.length)
+        off += b.length
+      }
+      out
+    }
+  }
+
+  def decodeStream(st: PStream): Array[Byte] = {
+    val filters: List[String] = st.dict.get("Filter").map(resolve) match {
+      case Some(PName(nm)) => List(nm)
+      case Some(PArr(xs))  => xs.collect { case PName(nm) => nm }.toList
+      case _               => Nil
+    }
+    filters.foldLeft(st.raw) { (bytes, f) =>
+      f match {
+        case "FlateDecode" => inflate(bytes)
+        case "ASCIIHexDecode" =>
+          val hex = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+            .takeWhile(_ != '>').filterNot(c => c.isWhitespace)
+          val padded = if (hex.length % 2 == 1) hex + "0" else hex
+          padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+        case _ => bytes // unsupported filter: pass through
+      }
+    }
+  }
+
+  private def inflate(bytes: Array[Byte]): Array[Byte] = {
+    def run(nowrap: Boolean): Array[Byte] = {
+      val inf = new Inflater(nowrap)
+      inf.setInput(bytes)
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val k = inf.inflate(buf)
+        if (k == 0 && !inf.finished()) return out.toByteArray
+        out.write(buf, 0, k)
+      }
+      inf.end()
+      out.toByteArray
+    }
+    try {
+      val r = run(nowrap = false)
+      if (r.nonEmpty) r else run(nowrap = true)
+    } catch { case _: Exception =>
+      try run(nowrap = true) catch { case _: Exception => Array.emptyByteArray }
+    }
+  }
+}
+
+object PdfDoc {
+  /** Magic sniff used by the pipeline to route binary page bodies:
+    * reference analog is "is this file a PDF" by extension
+    * (/root/reference/src/serials.py:46-63); here bytes start `%PDF-`. */
+  def isPdf(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 5 &&
+      bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
+      bytes(3) == 'F' && bytes(4) == '-'
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.html.{HtmlParser, Selectors, Boilerplate}
+
+class HtmlSpec extends AnyFunSuite {
+
+  val page = """<!DOCTYPE html>
+<html><head><title>The Page Title</title>
+<meta name="citation_doi" content="10.1234/xyz.42">
+<style>body { color: red }</style>
+<script>var x = "<p>not content</p>";</script>
+</head>
+<body>
+<header><nav><ul>
+  <li><a href="/">Home</a></li><li><a href="/about">About</a></li>
+  <li><a href="/contact">Contact</a></li>
+</ul></nav></header>
+<div id="content">
+  <h1 class="headline main">A Study of Things</h1>
+  <div class="abstract"><p>Abstract</p><p>This work studies the things in depth and at length, with methods.</p></div>
+  <main>
+    <p>First paragraph of the main content, long enough to count as a real content block for the classifier.</p>
+    <p>Second paragraph, also substantive and &amp; entity-laden &lt;ok&gt;, carrying more than enough characters.</p>
+  </main>
+  <ul class="references">
+    <li class="ref"><a href="/paper/1">Smith, J. (2020). Prior work one.</a></li>
+    <li class="ref"><a href="/paper/2">Doe, A. (2021). Prior work two.</a></li>
+  </ul>
+</div>
+<footer><p><a href="/tos">Terms</a> | <a href="/privacy">Privacy</a></p></footer>
+</body></html>"""
+
+  lazy val dom = HtmlParser.parse(page)
+
+  test("parser builds the tree and decodes entities") {
+    val p2 = Selectors.css(dom, "main p").toList
+    assert(p2.length == 2)
+    assert(p2(1).normalizedText.contains("& entity-laden <ok>"))
+  }
+
+  test("script/style content is not treated as markup") {
+    assert(Selectors.css(dom, "script p").isEmpty)
+  }
+
+  test("selector subset: tag, .class, #id, child, nth-child") {
+    assert(Selectors.cssFirst(dom, "h1.headline").map(_.normalizedText) ==
+      Some("A Study of Things"))
+    assert(Selectors.cssFirst(dom, "#content > main > p").isDefined)
+    assert(Selectors.cssFirst(dom, "ul.references > li:nth-child(2)")
+      .map(_.normalizedText) == Some("Doe, A. (2021). Prior work two."))
+    // reference-shaped selectors (webscrapers.py:408-417 uses deep descent)
+    assert(Selectors.cssFirst(dom, "div#content main p").isDefined)
+  }
+
+  test("text(strip) concatenates stripped text nodes, selectolax-style") {
+    val h1 = Selectors.cssFirst(dom, "h1").get
+    assert(h1.text(strip = true) == "A Study of Things")
+  }
+
+  test("boilerplate classifier picks main over nav/footer/body") {
+    val main = Boilerplate.mainContainer(dom)
+    assert(main.isDefined)
+    assert(main.get.tag == "main")
+  }
+
+  test("extraction fields: title, abstract, doi, citations") {
+    val ex = Boilerplate.extract(dom)
+    assert(ex.title == Some("A Study of Things"))
+    assert(ex.abstractText ==
+      Some("This work studies the things in depth and at length, with methods."))
+    assert(ex.doi == Some("10.1234/xyz.42"))
+    assert(ex.citationSpans == List(
+      "Smith, J. (2020). Prior work one.",
+      "Doe, A. (2021). Prior work two."))
+    assert(ex.mainText ==
+      "First paragraph of the main content, long enough to count as a real content block for the classifier.\n" +
+      "Second paragraph, also substantive and & entity-laden <ok>, carrying more than enough characters.")
+  }
+
+  test("void and self-closing tags do not break nesting") {
+    val d = HtmlParser.parse("<div><p>a<br>b</p><img src=x><p>c</p></div>")
+    assert(Selectors.css(d, "div > p").length == 2)
+  }
+
+  test("unclosed and stray close tags are tolerated") {
+    val d = HtmlParser.parse("<div><p>one<p>two</span></div>")
+    assert(Selectors.css(d, "p").length == 2)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pdf.{PdfWriter, PdfText, PdfDoc}
+
+class PdfSpec extends AnyFunSuite {
+
+  val pages = Seq(
+    PdfWriter.PageSpec(Seq(
+      "A Study of Synthetic Documents",
+      "doi: 10.4242/test.001",
+      "This is the first body line with several words.",
+      "And a second line (n = 42) with a statistic.")),
+    PdfWriter.PageSpec(Seq(
+      "Second page content begins here.",
+      "It continues with more words.")))
+
+  test("writer -> parser round trip is byte-identical (uncompressed)") {
+    val bytes = PdfWriter.build(pages, Map("Title" -> "A Study", "doi" -> "10.4242/test.001"))
+    assert(PdfDoc.isPdf(bytes))
+    assert(PdfText.extractText(bytes) == PdfWriter.expectedText(pages))
+  }
+
+  test("writer -> parser round trip is byte-identical (FlateDecode)") {
+    val bytes = PdfWriter.build(pages, Map("Title" -> "A Study"), compress = true)
+    assert(PdfText.extractText(bytes) == PdfWriter.expectedText(pages))
+  }
+
+  test("metadata round trip, pdfplumber-shaped keys") {
+    val bytes = PdfWriter.build(pages, Map("Title" -> "A (Parens) Title", "doi" -> "10.4242/test.001"))
+    val md = new PdfDoc(bytes).metadata
+    assert(md.get("Title") == Some("A (Parens) Title"))
+    assert(md.get("doi") == Some("10.4242/test.001"))
+  }
+
+  test("multi-space runs collapse in word assembly") {
+    val p = Seq(PdfWriter.PageSpec(Seq("alpha  beta   gamma")))
+    val bytes = PdfWriter.build(p)
+    assert(PdfText.extractText(bytes) == "alpha beta gamma")
+  }
+
+  test("empty page list and empty lines") {
+    assert(PdfText.extractText(PdfWriter.build(Seq(PdfWriter.PageSpec(Seq(""))))) == "")
+  }
+
+  test("many lines split across y positions stay in reading order") {
+    val lines = (1 to 40).map(i => s"line number $i of the long page")
+    val p = Seq(PdfWriter.PageSpec(lines))
+    val bytes = PdfWriter.build(p, compress = true)
+    assert(PdfText.extractText(bytes) == lines.mkString("\n"))
+  }
+
+  test("reference fixture PDF parses without crashing (stretch goal)") {
+    val f = new java.io.File("/root/reference/tests/test_dirs/test_pdf_1.pdf")
+    if (f.exists()) {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val doc = new PdfDoc(bytes)
+      assert(doc.pages.nonEmpty)
+      val text = PdfText.extractText(bytes)
+      assert(text.length > 100) // real extraction, pinned loosely
+    }
+  }
+}

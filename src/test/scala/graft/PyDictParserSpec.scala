@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.serials.PyDictParser
+import graft.serials.PyDictParser._
+
+class PyDictParserSpec extends AnyFunSuite {
+
+  test("single-quoted Python dict literal (the CSV fixture shape)") {
+    // shape of /root/reference/tests/test_dirs/test_example_file_1.csv row 2
+    val cell = "{'authors': 'I. Ron Butterfly', 'year': 1968, 'ok': True, 'missing': None}"
+    assert(PyDictParser.extractKey(cell, "authors") == "I. Ron Butterfly")
+    assert(PyDictParser.extractKey(cell, "year") == "1968")
+    assert(PyDictParser.extractKey(cell, "ok") == "True")
+    assert(PyDictParser.extractKey(cell, "missing") == "None")
+    assert(PyDictParser.extractKey(cell, "absent") == "")
+  }
+
+  test("non-dict cells pass through unchanged") {
+    assert(PyDictParser.extractKey("plain value", "k") == "plain value")
+    assert(PyDictParser.extractKey("10.1000/12345", "k") == "10.1000/12345")
+  }
+
+  test("nested lists and escapes") {
+    val cell = "{'ids': ['pub.10001', 'pub.10002'], 'note': 'it\\'s fine'}"
+    assert(PyDictParser.extractKey(cell, "ids") == "['pub.10001', 'pub.10002']")
+    assert(PyDictParser.extractKey(cell, "note") == "it's fine")
+  }
+
+  test("malformed dict-ish cells pass through (reference would raise in eval)") {
+    assert(PyDictParser.extractKey("{not python", "k") == "{not python")
+  }
+
+  test("parse handles numbers, tuples, nesting") {
+    assert(PyDictParser.parse("{'a': {'b': [1, 2.5, -3]}}").isDefined)
+    assert(PyDictParser.parse("('x', 'y')") == Some(PyList(List(PyStr("x"), PyStr("y")))))
+    assert(PyDictParser.parse("{'trailing': 1,}").isDefined)
+    assert(PyDictParser.parse("{bad}") == None)
+  }
+}
