@@ -1,0 +1,232 @@
+package graft.corpus
+
+import graft.pdf.PdfWriter
+import graft.model.PageRecord
+
+/** Deterministic synthetic Common-Crawl-style page generator + golden
+  * emitter (FIXTURES.md §1). Pure per-docId function — the same docId
+  * always yields the same page and golden on any executor, so the corpus
+  * can be generated distributed (spark.range -> map) with no data
+  * movement and no external input.
+  *
+  * Page analog in the reference: the PDF corpus of `directory` mode
+  * (/root/reference/src/serials.py:46-63) and the HTML bodies the
+  * webscrapers parse (/root/reference/src/webscrapers.py:129).
+  */
+object CorpusGen {
+
+  type Page = PageRecord
+
+  final case class Golden(
+      url: String,
+      extracted_text: String,
+      title: String,
+      abstract_text: String,
+      doi: String, // empty string = none
+      citation_spans: Seq[String],
+      // closed-form scoring facts for the abstract channel (`text` column)
+      target_hits: Int,
+      bycatch_hits: Int,
+      total_words: Int)
+
+  // Word pools. Target/bycatch mirror the reference's word-set files
+  // (/root/reference/words/target_words.txt shape); neutral pool sized so
+  // token frequencies vary.
+  val TargetWords: Vector[String] = Vector(
+    "prosocial", "design", "misinformation", "cooperation", "behavior",
+    "intervention", "network", "incentive", "altruism", "reciprocity")
+  val BycatchWords: Vector[String] = Vector(
+    "psychology", "fmri", "neuron", "cortex", "primate",
+    "pharmacology", "dosage", "genome", "protein", "enzyme")
+  val NeutralWords: Vector[String] = Vector(
+    "the", "of", "and", "to", "in", "study", "results", "method", "data",
+    "analysis", "model", "effect", "sample", "group", "measure", "value",
+    "table", "figure", "section", "finding", "approach", "evidence",
+    "process", "system", "factor", "level", "change", "outcome", "test",
+    "paper", "work", "field", "case", "time", "part", "form", "point",
+    "state", "order", "number")
+
+  val HotDomainShare = 3 // 3-in-10 docIds land on domain 0 (skew fixture)
+  private val Epoch = 1735689600000L // 2025-01-01T00:00:00Z
+
+  def domainId(docId: Long): Int =
+    if (docId % 10 < HotDomainShare) 0 else (mix(docId) % 97).toInt + 1
+
+  def url(docId: Long): String = s"https://d${domainId(docId)}.example.org/p/$docId"
+
+  def isPdfDoc(docId: Long): Boolean = docId % 10 >= 7 // 30% PDF
+
+  private def mix(x: Long): Long = {
+    // splitmix64 finalizer — deterministic, well-spread
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    val r = z ^ (z >>> 31)
+    r & Long.MaxValue
+  }
+
+  private final class Rng(seed: Long) {
+    private var s = mix(seed)
+    def nextLong(): Long = { s = mix(s + 0x632be59bd9b4e019L); s }
+    def nextInt(bound: Int): Int = (nextLong() % bound).toInt
+    def pick[T](xs: Vector[T]): T = xs(nextInt(xs.length))
+  }
+
+  /** Abstract channel with closed-form hit counts: the `text` column the
+    * fastscore/wordscore modes consume (/root/reference/src/factories.py:38-52).
+    * NOTE target/bycatch hits below are raw membership counts; the
+    * reference's matching_terms is the sum over the top-3 terms only —
+    * goldens carry raw counts, tests derive top-3 via TextOps.
+    */
+  private def genAbstract(rng: Rng): (String, Int, Int, Int) = {
+    val n = 40 + rng.nextInt(80)
+    val words = (0 until n).map { _ =>
+      rng.nextInt(10) match {
+        case 0 | 1 => rng.pick(TargetWords)
+        case 2     => rng.pick(BycatchWords)
+        case _     => rng.pick(NeutralWords)
+      }
+    }
+    val text = words.mkString(" ")
+    val t = words.count(TargetWords.contains(_))
+    val b = words.count(BycatchWords.contains(_))
+    (text, t, b, words.length)
+  }
+
+  private def sentence(rng: Rng, len: Int): String = {
+    val ws = (0 until len).map(_ => rng.pick(NeutralWords)) ++
+      (if (rng.nextInt(3) == 0) Seq(rng.pick(TargetWords)) else Nil)
+    ws.mkString(" ") + "."
+  }
+
+  private def paragraph(rng: Rng): String =
+    (0 until 2 + rng.nextInt(3)).map(_ => sentence(rng, 8 + rng.nextInt(12))).mkString(" ")
+
+  def titleFor(docId: Long, rng: Rng): String =
+    s"Study $docId of ${rng.pick(TargetWords)} and ${rng.pick(NeutralWords)}"
+
+  def doiFor(docId: Long): Option[String] =
+    if (docId % 3 == 0) Some(s"10.5555/g$docId") else None
+
+  def langFor(docId: Long): String = if (docId % 37 == 0) "xx" else "en"
+
+  /** Generate one page + its golden. Deterministic in docId. */
+  def genDoc(docId: Long): (Page, Golden) = {
+    val rng = new Rng(docId)
+    val (abstractText, tHits, bHits, totalW) = genAbstract(rng)
+    val title = titleFor(docId, rng)
+    val doi = doiFor(docId)
+    val paragraphs = (0 until 2 + rng.nextInt(4)).map(_ => paragraph(rng))
+    val u = url(docId)
+    val ts = new java.sql.Timestamp(Epoch + docId * 1000L)
+
+    if (isPdfDoc(docId)) {
+      // PDF page: title line, optional doi line, wrapped body lines
+      val statLine = s"effect size (d = 0.${rng.nextInt(99)}) observed (n = ${10 + rng.nextInt(90)})"
+      val bodyLines = (Seq(title) ++
+        doi.map(d => s"doi: $d").toSeq ++
+        paragraphs.flatMap(wrap(_, 80)) :+ statLine)
+      val pdfPages = bodyLines.grouped(PdfWriter.MaxLinesPerPage)
+        .map(ls => PdfWriter.PageSpec(ls.toSeq)).toSeq
+      val info = Map("Title" -> title) ++
+        (if (docId % 6 == 0) doi.map("doi" -> _) else None)
+      val bytes = PdfWriter.build(pdfPages, info, compress = docId % 2 == 0)
+      val golden = Golden(
+        url = u,
+        extracted_text = PdfWriter.expectedText(pdfPages),
+        title = title,
+        abstract_text = abstractText,
+        doi = doi.getOrElse(""),
+        citation_spans = Nil,
+        target_hits = tHits, bycatch_hits = bHits, total_words = totalW)
+      (PageRecord(u, ts, bytes, abstractText, langFor(docId)), golden)
+    } else {
+      val citations = (0 until rng.nextInt(4)).map(i =>
+        s"Author ${('A' + rng.nextInt(26)).toChar}. (${2000 + rng.nextInt(25)}). Cited work $i.")
+      val htmlStr = renderHtml(docId, title, abstractText, doi, paragraphs, citations, rng)
+      val golden = Golden(
+        url = u,
+        // main container holds the abstract block (heading + body) then the
+        // article paragraphs; blockTexts emits them in document order
+        extracted_text = ("Abstract" +: abstractText +: paragraphs).mkString("\n"),
+        title = title,
+        abstract_text = abstractText,
+        doi = doi.getOrElse(""),
+        citation_spans = citations,
+        target_hits = tHits, bycatch_hits = bHits, total_words = totalW)
+      (PageRecord(u, ts, htmlStr.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        abstractText, langFor(docId)), golden)
+    }
+  }
+
+  private def wrap(text: String, width: Int): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    text.split(" ").foreach { w =>
+      if (cur.nonEmpty && cur.length + 1 + w.length > width) {
+        out += cur.toString; cur.clear()
+      }
+      if (cur.nonEmpty) cur.append(' ')
+      cur.append(w)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  /** Page layouts vary by docId so the classifier can't overfit one shape:
+    * main content sits in <main>, <article>, or a plain dense <div>;
+    * boilerplate (nav/sidebar/footer/ads) is link-dense or short. */
+  private def renderHtml(
+      docId: Long,
+      title: String,
+      abstractText: String,
+      doi: Option[String],
+      paragraphs: Seq[String],
+      citations: Seq[String],
+      rng: Rng): String = {
+    val navLinks = (0 until 6).map(i =>
+      s"""<li><a href="/nav/$i">${rng.pick(NeutralWords)} ${rng.pick(NeutralWords)}</a></li>""").mkString
+    // 12 link-dense sidebar blocks guarantee the enclosing #page div scores
+    // strictly below the main container (its extra leaves net negative)
+    val sideLinks = (0 until 12).map(i =>
+      s"""<p><a href="/rel/$i">Related article about ${rng.pick(NeutralWords)} and ${rng.pick(TargetWords)}</a></p>""").mkString("\n")
+    val refs = citations.zipWithIndex.map { case (c, i) =>
+      s"""<li class="ref"><a href="/cited/$i">$c</a></li>"""
+    }.mkString("\n")
+    val body = paragraphs.map(p => s"<p>$p</p>").mkString("\n")
+    val (openMain, closeMain) = (docId % 3) match {
+      case 0 => ("""<main>""", "</main>")
+      case 1 => ("""<article class="post-body">""", "</article>")
+      case _ => ("""<div class="entry content-area">""", "</div>")
+    }
+    val doiMeta = doi.map(d => s"""<meta name="citation_doi" content="$d">""").getOrElse("")
+    val doiSpan = doi.map(d => s"""<p class="doi-line">DOI: <span class="doi">$d</span></p>""").getOrElse("")
+    s"""<!DOCTYPE html>
+<html lang="en"><head>
+<title>$title | d${domainId(docId)} journal</title>
+$doiMeta
+<meta charset="utf-8">
+<style>.sidebar { float: right } nav li { display: inline }</style>
+<script>window.tracker = { page: "$docId" }; if (1 < 2) { track("<p>"); }</script>
+</head>
+<body>
+<header><nav><ul>$navLinks</ul></nav></header>
+<div id="page">
+  <h1 class="article-title">$title</h1>
+  $doiSpan
+  $openMain
+  <div class="abstract"><p>Abstract</p><p>$abstractText</p></div>
+$body
+  $closeMain
+  <aside class="sidebar">
+$sideLinks
+  </aside>
+  <ul class="references">
+$refs
+  </ul>
+</div>
+<footer><p><a href="/tos">Terms</a> | <a href="/privacy">Privacy</a> | <a href="/imprint">Imprint</a></p>
+<p><a href="/c">Contact</a> <a href="/a">About</a> <a href="/h">Help</a></p></footer>
+</body></html>"""
+  }
+}

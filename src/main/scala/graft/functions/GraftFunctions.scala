@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, FloatType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.graftshim.Shim
+
+/** Native Catalyst expressions for the engine's hot-path scalar functions.
+  * Codegen'd (doGenCode emits a static call), so they stay inside
+  * whole-stage codegen instead of breaking the pipeline like a Scala UDF
+  * would (SURVEY.md §4.3 option, promoted here).
+  */
+
+/** float -> IEEE binary16 -> float quantization, reproducing the
+  * reference's np.float16 export downcast
+  * (/root/reference/src/config.py:124-128). */
+case class HalfFloat(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == FloatType || child.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"half_float needs float or double, got ${child.dataType}")
+
+  override def dataType: DataType = FloatType
+
+  override def nullSafeEval(v: Any): Any = v match {
+    case f: java.lang.Float  => graft.textops.Float16.quantize(f.floatValue())
+    case d: java.lang.Double => graft.textops.Float16.quantize(d.doubleValue())
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      child.dataType match {
+        case DoubleType => s"graft.textops.Float16.quantize((double)$c)"
+        case _          => s"graft.textops.Float16.quantize((float)$c)"
+      })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over whitespace tokens: per-token 64-bit mix, signed
+  * bit-vote accumulation, sign -> bit. The standard Charikar construction
+  * (public; used for web-scale near-dup detection). Implemented natively
+  * so dedup sweeps stay codegen'd at 100 TB.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs a string column, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHash64.compute($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** splitmix64 finalizer — the same public mixing constant set used by
+    * java.util.SplittableRandom. */
+  @inline private def mix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def compute(text: String): Long = {
+    val votes = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ' || text.charAt(i) == '\n' ||
+          text.charAt(i) == '\t' || text.charAt(i) == '\r') {
+        if (i > start) {
+          // token hash: FNV-1a over chars then splitmix finalize
+          var h = 0xcbf29ce484222325L
+          var j = start
+          while (j < i) { h ^= text.charAt(j); h *= 0x100000001b3L; j += 1 }
+          h = mix(h)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Hamming distance between two simhashes (for near-dup thresholds). */
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+object GraftFunctions {
+  def half_float(c: Column): Column =
+    Shim.column(HalfFloat(Shim.expression(c)))
+  def simhash64(c: Column): Column =
+    Shim.column(SimHash64(Shim.expression(c)))
+
+  /** Register for SQL use: half_float(x), simhash64(s). */
+  def registerAll(spark: SparkSession): Unit = {
+    Shim.registerFunction(spark, "half_float", exprs => HalfFloat(exprs.head))
+    Shim.registerFunction(spark, "simhash64", exprs => SimHash64(exprs.head))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.model
+
+/** Row models for the engine (SURVEY.md §1.1). All strings use "" for
+  * absent values so parquet/oracle round trips stay schema-stable.
+  */
+
+/** Input row of the `pages` table (BASELINE.json input_hint). */
+final case class PageRecord(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** Term + count pair (reference FreqDistAndCount element,
+  * /root/reference/src/docscraper.py:18-34). */
+final case class TermCount(term: String, count: Int)
+
+/** Output of the parse stage: main-content text + structured fields.
+  * Reference analog: WebScrapeResult + the PDF path of DocumentResult
+  * (/root/reference/src/webscrapers.py:27-42, /root/reference/src/docscraper.py:37-52). */
+final case class ExtractedDoc(
+    url: String,
+    kind: String, // "html" | "pdf"
+    extracted_text: String,
+    title: String,
+    abstract_text: String,
+    doi: String,
+    citation_spans: Seq[String],
+    n_bytes: Long,
+    ok: Boolean,
+    error: String)
+
+/** Full scored row (reference DocumentResult,
+  * /root/reference/src/docscraper.py:37-52). wordscore carries float16
+  * quantization per /root/reference/src/config.py:124-128. */
+final case class ScoredDoc(
+    url: String,
+    kind: String,
+    extracted_text: String,
+    title: String,
+    abstract_text: String,
+    doi: String,
+    citation_spans: Seq[String],
+    matching_terms: Int,
+    bycatch_terms: Int,
+    total_word_count: Int,
+    wordscore: Float,
+    target_terms_top_3: Seq[TermCount],
+    bycatch_terms_top_3: Seq[TermCount],
+    paper_parentheticals: Seq[String],
+    n_bytes: Long,
+    ok: Boolean,
+    error: String)
+
+/** Per-partition lineage row (north rule: per-partition lineage +
+  * metrics; SURVEY.md §4.4). */
+final case class LineageRow(
+    bucket: Int,
+    n_docs: Long,
+    n_ok: Long,
+    n_err: Long,
+    bytes_in: Long,
+    wall_ms: Long,
+    attempt: Int,
+    ts: java.sql.Timestamp)

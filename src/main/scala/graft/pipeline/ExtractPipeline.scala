@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{SparkSession, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model.{PageRecord, ExtractedDoc, ScoredDoc}
+import graft.corpus.CorpusGen
+
+/** The flagship Dataset pipeline (SURVEY.md §3.1 Spark shape):
+  *
+  *   pages -> salt-repartition on url-hash -> mapPartitions(parse) ->
+  *   score vs broadcast word sets -> (write | join goldens)
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *  - the repartition key is `xxhash64(url, salt)` — urls are unique, so
+  *    the parse stage is uniformly balanced even when one domain holds
+  *    30% of rows (the skew lives in the *input partitioning*, not the
+  *    key space we shuffle on). The salt decorrelates repeated runs from
+  *    any pre-existing layout of the source files.
+  *  - word sets are broadcast once (the reference re-reads them from disk
+  *    per document, /root/reference/src/docscraper.py:146-147).
+  *  - parsing is per-row pure; no shuffle after the single repartition,
+  *    so the stage pipeline is scan -> exchange -> parse+score -> sink.
+  */
+object ExtractPipeline {
+
+  /** Deterministic synthetic corpus as a distributed Dataset — generated
+    * per-partition, never collected on the driver. */
+  def pages(spark: SparkSession, nDocs: Long, nPartitions: Int = 0): Dataset[PageRecord] = {
+    import spark.implicits._
+    val parts = if (nPartitions > 0) nPartitions
+      else spark.sparkContext.defaultParallelism
+    spark.range(0, nDocs, 1, parts).map(i => CorpusGen.genDoc(i)._1)
+  }
+
+  /** Goldens for the same id range (sidecar table; FIXTURES.md §1). */
+  def goldens(spark: SparkSession, nDocs: Long, nPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val parts = if (nPartitions > 0) nPartitions
+      else spark.sparkContext.defaultParallelism
+    spark.range(0, nDocs, 1, parts).map { i =>
+      val g = CorpusGen.genDoc(i)._2
+      (g.url, g.extracted_text, g.title, g.abstract_text, g.doi,
+        g.citation_spans, g.target_hits, g.bycatch_hits, g.total_words)
+    }.toDF("url", "extracted_text", "title", "abstract_text", "doi",
+      "citation_spans", "target_hits", "bycatch_hits", "total_words")
+  }
+
+  /** Parse stage. `salt` varies per attempt so retries re-balance. */
+  def extract(pages: Dataset[PageRecord], numPartitions: Int, salt: Long = 0L): Dataset[ExtractedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .repartition(numPartitions, xxhash64(col("url"), lit(salt)))
+      .mapPartitions(_.map(Extractor.extract))
+  }
+
+  /** Parse + score stage in ONE partition pass (no extra shuffle). */
+  def extractAndScore(
+      pages: Dataset[PageRecord],
+      numPartitions: Int,
+      targetWords: Set[String],
+      bycatchWords: Set[String],
+      salt: Long = 0L): Dataset[ScoredDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val bcTarget = spark.sparkContext.broadcast(targetWords)
+    val bcBycatch = spark.sparkContext.broadcast(bycatchWords)
+    pages
+      .repartition(numPartitions, xxhash64(col("url"), lit(salt)))
+      .mapPartitions { it =>
+        val t = bcTarget.value
+        val b = bcBycatch.value
+        it.map(p => Extractor.score(Extractor.extract(p), t, b))
+      }
+  }
+
+  /** Byte-identical verification: extracted vs golden per url.
+    * Returns (url, kind, matched) — the north rule's correctness gate. */
+  def verifyAgainstGoldens(
+      extracted: Dataset[ExtractedDoc],
+      goldens: DataFrame): DataFrame = {
+    val e = extracted.toDF.select(
+      col("url"), col("kind"), col("extracted_text").as("got"))
+    val g = goldens.select(col("url"), col("extracted_text").as("want"))
+    e.join(g, Seq("url"), "inner")
+      .withColumn("matched", col("got") === col("want"))
+      .select("url", "kind", "matched")
+  }
+}

@@ -1,0 +1,166 @@
+package graft.table
+
+import org.apache.spark.sql.{SparkSession, DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.model.{PageRecord, ScoredDoc, LineageRow}
+import graft.pipeline.{ExtractPipeline, Extractor}
+
+/** Iceberg-style table layer, emulated (no Iceberg jar offline —
+  * SURVEY.md §7.3 documents the deviation): hash-bucketed parquet layout
+  * + JSON snapshot manifests + an append-only lineage table; resume =
+  * left-ANTI join of input buckets vs completed buckets.
+  *
+  * Layout under `root/`:
+  *   data/bucket=[k]/...parquet    results, partitioned by url-hash bucket
+  *   lineage/...parquet            LineageRow appended per completed wave
+  *   manifest/snapshot-[n].json    wave commit records (files + buckets)
+  *
+  * A killed job resumes by re-reading lineage: completed buckets are
+  * excluded with `left_anti`, so no page is re-parsed (north rule:
+  * checkpoint-resumable with per-partition lineage + metrics).
+  * The wave is the atomic commit unit: data is written before the
+  * lineage append, so a crash mid-wave re-processes only that wave.
+  */
+object GraftTable {
+
+  final case class RunReport(
+      buckets: Int,
+      skipped: Int,
+      processed: Int,
+      docs: Long,
+      wallMs: Long)
+
+  def bucketOf(urlCol: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(urlCol), lit(nBuckets)).cast("int")
+
+  def completedBuckets(spark: SparkSession, root: String): Set[Int] = {
+    val lineagePath = s"$root/lineage"
+    if (!new java.io.File(lineagePath).exists()) Set.empty
+    else {
+      import spark.implicits._
+      spark.read.parquet(lineagePath).select("bucket").as[Int].collect().toSet
+    }
+  }
+
+  /** Run the extract+score pipeline over `pages`, bucketed by url hash,
+    * committing `bucketsPerWave` buckets at a time. Returns the report;
+    * the data lands partitioned by bucket under root/data.
+    */
+  def runResumable(
+      spark: SparkSession,
+      pages: Dataset[PageRecord],
+      root: String,
+      nBuckets: Int,
+      bucketsPerWave: Int,
+      targetWords: Set[String],
+      bycatchWords: Set[String],
+      tasksPerWave: Int,
+      attempt: Int = 1,
+      failAfterWaves: Int = Int.MaxValue): RunReport = {
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+
+    val done = completedBuckets(spark, root)
+    val all = (0 until nBuckets).toSet
+    val remaining = (all -- done).toList.sorted
+
+    // the anti-join gate itself, expressed relationally (north rule asks
+    // for it explicitly): input rows whose bucket is already complete are
+    // excluded before any parse work happens. The completed set is tiny
+    // (one row per bucket) -> broadcast hash anti join, no shuffle of the
+    // big side beyond the bucket filter.
+    val doneDf = done.toSeq.toDF("bucket")
+    val withBucket = pages.withColumn("bucket", bucketOf(col("url"), nBuckets))
+    val pending = withBucket
+      .join(broadcast(doneDf), Seq("bucket"), "left_anti")
+
+    val bcTarget = spark.sparkContext.broadcast(targetWords)
+    val bcBycatch = spark.sparkContext.broadcast(bycatchWords)
+
+    var processed = 0
+    var totalDocs = 0L
+    var waveIdx = 0
+    remaining.grouped(bucketsPerWave).foreach { wave =>
+      if (waveIdx >= failAfterWaves)
+        throw new RuntimeException(s"injected failure after $failAfterWaves waves")
+      val waveT0 = System.currentTimeMillis()
+      val waveSet = wave.toSet
+      val waveRows = pending
+        .filter(col("bucket").isin(wave.map(Integer.valueOf): _*))
+        .as[PageRecordWithBucket]
+
+      val scored = waveRows
+        .repartition(tasksPerWave, col("bucket"), xxhash64(col("url"), lit(attempt.toLong)))
+        .mapPartitions { it =>
+          val t = bcTarget.value
+          val b = bcBycatch.value
+          it.map { r =>
+            val s = Extractor.score(
+              Extractor.extract(PageRecord(r.url, r.warc_ts, r.html, r.text, r.lang)), t, b)
+            ScoredDocWithBucket(r.bucket, s)
+          }
+        }
+        .select(col("bucket"), col("doc.*"))
+
+      scored.write.mode(SaveMode.Append).partitionBy("bucket")
+        .parquet(s"$root/data")
+
+      // lineage metrics from the data just written (map-side combine agg)
+      val waveMs = System.currentTimeMillis() - waveT0
+      val ts = new java.sql.Timestamp(System.currentTimeMillis())
+      val metrics = spark.read.parquet(s"$root/data")
+        .filter(col("bucket").isin(wave.map(Integer.valueOf): _*))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("ok"), 0L).otherwise(1L)).as("n_err"),
+          sum("n_bytes").as("bytes_in"))
+        .withColumn("wall_ms", lit(waveMs))
+        .withColumn("attempt", lit(attempt))
+        .withColumn("ts", lit(ts))
+        .as[LineageRow]
+        .collect()
+      // buckets with zero rows still need a lineage row or they'd re-run
+      // forever on data that simply has no pages in them
+      val seen = metrics.map(_.bucket).toSet
+      val empty = waveSet.diff(seen).toSeq
+        .map(b => LineageRow(b, 0, 0, 0, 0, waveMs, attempt, ts))
+      val lineage = (metrics.toSeq ++ empty).toDS()
+      lineage.coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/lineage")
+
+      writeSnapshot(root, waveIdx, wave, metrics.map(m => (m.bucket, m.n_docs)))
+      processed += wave.size
+      totalDocs += metrics.map(_.n_docs).sum
+      waveIdx += 1
+    }
+
+    RunReport(nBuckets, done.size, processed, totalDocs,
+      System.currentTimeMillis() - t0)
+  }
+
+  private def writeSnapshot(
+      root: String, waveIdx: Int, buckets: Seq[Int], counts: Seq[(Int, Long)]): Unit = {
+    val dir = new java.io.File(s"$root/manifest")
+    dir.mkdirs()
+    val existing = Option(dir.list()).map(_.count(_.startsWith("snapshot-"))).getOrElse(0)
+    val json =
+      s"""{"snapshot_id": ${existing + 1},
+         |"wave": $waveIdx,
+         |"buckets": [${buckets.mkString(",")}],
+         |"bucket_docs": {${counts.map { case (b, n) => s""""$b": $n""" }.mkString(",")}},
+         |"schema_id": 1}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/manifest/snapshot-${existing + 1}.json"), json)
+  }
+}
+
+final case class PageRecordWithBucket(
+    bucket: Int,
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+final case class ScoredDocWithBucket(bucket: Int, doc: ScoredDoc)
