@@ -1,0 +1,526 @@
+package graft.queries
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.pipeline.ExtractPipeline
+import graft.corpus.CorpusGen
+import graft.functions.GraftFunctions
+import graft.table.GraftTable
+
+/** The engine's query suite — one entry per operator family from
+  * SURVEY.md §2 plus the large-scale training-data-pipeline operations
+  * (dedup, similarity search, text analysis, multimodal plumbing).
+  *
+  * Every oracle-checked query is written so Spark and DuckDB produce
+  * bit-identical values:
+  *   - numeric outputs are BIGINT on both sides (no raw floats — doubles
+  *     are quantized with CAST(FLOOR(x*10^k + 0.5) AS BIGINT) applied to
+  *     per-row arithmetic that both engines evaluate with identical IEEE
+  *     double operations);
+  *   - aggregation over doubles is avoided: rows are fixed-point-quantized
+  *     FIRST, then summed as exact integers, so shuffle/accumulation order
+  *     can never change the answer (this is also the right call at 100 TB —
+  *     a deterministic answer under retries and AQE re-planning);
+  *   - hash functions shared across engines are md5 (lowercase hex both).
+  *
+  * Scale notes are inline per query.
+  */
+object Queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  final case class Q(name: String, fn: QueryFn, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- shared token snippets (dialect pair) --------------------------
+  // Python-semantics tokenizer (reference /root/reference/src/docscraper.py:176-186):
+  // strip, lower, single-space split keeping empty tokens.
+  private val SparkToks = "split(lower(trim(text)), ' ', -1)"
+  private val DuckToks  = "string_split(lower(trim(text)), ' ')"
+
+  // Word sets for the documents-table vocabulary (the documents fixture is
+  // the abstract channel analog; sets play the role of the reference's
+  // target/bycatch word files, /root/reference/src/docscraper.py:110-127).
+  private val TargetList  = "('spark','table','query','join','agg','scan','hash','merge','sort','stream')"
+  private val BycatchList = "('slow','big','small')"
+  private val EnMarkers   = "('the','a')"
+
+  // Shared wordscore arithmetic (reference /root/reference/src/docscraper.py:208-244):
+  // identical text in both dialects => identical IEEE evaluation.
+  private val ScoreExpr =
+    "CAST(FLOOR(LEAST(1.0, GREATEST(0.0, (m*1.0 + b*(-0.25) + (t-m-b)*0.5) / t))*10000.0 + 0.5) AS BIGINT)"
+
+  // =====================================================================
+  // Relational core (scan/filter/join/agg/window) — SURVEY.md §2.1–2.5
+  // =====================================================================
+
+  /** Pricing summary (TPC-H Q1 shape). Scale: partial (map-side) agg on
+    * 6 groups -> single tiny shuffle; quantities quantized per-row to e2
+    * fixed point so the distributed sum is exact integer arithmetic. */
+  private val q01 = Q(
+    "q01_pricing_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(expr("FLOOR(l_quantity*100.0 + 0.5)")).as("sum_qty_e2"),
+          sum(expr("FLOOR(l_extendedprice*100.0 + 0.5)")).as("sum_price_e2"),
+          sum(expr("FLOOR(l_extendedprice*(1.0-l_discount)*100.0 + 0.5)")).as("sum_disc_price_e2"),
+          count(lit(1)).as("n_rows")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(FLOOR(l_quantity*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+      CAST(SUM(CAST(FLOOR(l_extendedprice*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_e2,
+      CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_e2,
+      CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
+
+  /** Predicate-pushdown scan: the shipdate range reaches the parquet
+    * reader as PushedFilters (verified in QueriesPlanSpec). */
+  private val q02 = Q(
+    "q02_filter_monthly",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter("l_shipdate >= TIMESTAMP'1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP'1998-01-01 00:00:00'")
+        .groupBy(expr("CAST(date_trunc('month', l_shipdate) AS DATE)").as("ship_month"), col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(expr("FLOOR(l_quantity*100.0 + 0.5)")).as("sum_qty_e2")),
+    Some("""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month, l_returnflag,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(FLOOR(l_quantity*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_e2
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2"""))
+
+  /** 3-way join: fact-fact shuffle join (lineitem x orders on orderkey)
+    * plus broadcast of the small customer dim — the 100 TB plan is SMJ on
+    * the two facts co-partitioned by orderkey + BHJ for the dim. */
+  private val q03 = Q(
+    "q03_join_revenue",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+          sum(expr("FLOOR(l_extendedprice*(1.0-l_discount)*100.0 + 0.5)")).as("revenue_e2"),
+          count(lit(1)).as("n_rows")),
+    Some("""SELECT c_mktsegment, o_orderpriority,
+      CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2,
+      CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority"""))
+
+  /** Star-schema dims: two broadcast hash joins, zero fact shuffle before
+    * the final small agg. */
+  private val q04 = Q(
+    "q04_dim_bcast",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(expr("FLOOR(c_acctbal*100.0 + 0.5)")).as("sum_acctbal_e2")),
+    Some("""SELECT r_name, n_name,
+      CAST(COUNT(*) AS BIGINT) AS n_cust,
+      CAST(SUM(CAST(FLOOR(c_acctbal*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_e2
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name"""))
+
+  /** Window top-k: top-3 orders per customer (SURVEY.md §2.5). Ties are
+    * impossible to observe: orderkey is the deterministic tiebreaker. */
+  private val q05 = Q(
+    "q05_window_topk",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rn") <= 3)
+        .selectExpr("o_custkey", "o_orderkey", "CAST(rn AS BIGINT) AS rn"),
+    Some("""SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT o_custkey, o_orderkey,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3"""))
+
+  /** Tumbling-hour event rollup (the batch analog of a windowed streaming
+    * agg; values pre-quantized so the sum is exact). */
+  private val q06 = Q(
+    "q06_events_hourly",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(expr("date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH')").as("ts_hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(expr("FLOOR(value*100.0 + 0.5)")).as("sum_value_e2")),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS ts_hour, event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(FLOOR(value*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
+      FROM events GROUP BY 1, 2"""))
+
+  /** Semi-structured field extraction from the JSON-ish props column
+    * (reference JSON item access, /root/reference/src/webscrapers.py:73-80)
+    * via a dialect-shared regex. */
+  private val q07 = Q(
+    "q07_events_props",
+    (s, dir) =>
+      t(s, dir, "events")
+        .selectExpr("CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n")),
+    Some("""SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k,
+      CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1"""))
+
+  // =====================================================================
+  // Text analysis over `documents` — training-data-pipeline operators
+  // =====================================================================
+
+  /** Token counting (whitespace tokenizer; SURVEY.md §2.7 row 31). */
+  private val q08 = Q(
+    "q08_token_stats",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .selectExpr(
+          "doc_id",
+          s"CAST(size($SparkToks) AS BIGINT) AS n_tokens",
+          "CAST(length(text) AS BIGINT) AS len_chars",
+          "n_chars"),
+    Some(s"""SELECT doc_id,
+      CAST(len($DuckToks) AS BIGINT) AS n_tokens,
+      CAST(length(text) AS BIGINT) AS len_chars,
+      n_chars
+      FROM documents"""))
+
+  /** The reference's wordscore relevance metric as pure column arithmetic
+    * (whole-stage codegen'd; no UDF). Reference
+    * /root/reference/src/docscraper.py:55-94 and :208-244. */
+  private val q09 = Q(
+    "q09_wordscore",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .selectExpr("doc_id", s"$SparkToks AS toks")
+        .selectExpr(
+          "doc_id",
+          s"CAST(size(filter(toks, w -> w IN $TargetList)) AS BIGINT) AS m",
+          s"CAST(size(filter(toks, w -> w IN $BycatchList)) AS BIGINT) AS b",
+          "CAST(size(toks) AS BIGINT) AS t")
+        .selectExpr(
+          "doc_id",
+          "m AS matching_terms",
+          "b AS bycatch_terms",
+          "t AS total_word_count",
+          s"$ScoreExpr AS wordscore_e4"),
+    Some(s"""WITH tk AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+      c AS (SELECT doc_id,
+        CAST(len(list_filter(toks, w -> w IN $TargetList)) AS BIGINT) AS m,
+        CAST(len(list_filter(toks, w -> w IN $BycatchList)) AS BIGINT) AS b,
+        CAST(len(toks) AS BIGINT) AS t
+        FROM tk)
+      SELECT doc_id, m AS matching_terms, b AS bycatch_terms, t AS total_word_count,
+        $ScoreExpr AS wordscore_e4
+      FROM c"""))
+
+  /** Language-ID heuristic: marker-token ratio (n-gram/stopword heuristic
+    * class; deterministic, broadcast-free column arithmetic). */
+  private val q10 = Q(
+    "q10_langid",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .selectExpr("doc_id", s"$SparkToks AS toks")
+        .selectExpr(
+          "doc_id",
+          s"CAST(size(filter(toks, w -> w IN $EnMarkers)) AS BIGINT) AS h",
+          "CAST(size(toks) AS BIGINT) AS t")
+        .selectExpr(
+          "doc_id",
+          "h AS en_hits",
+          "CAST(FLOOR(10000.0*h/t + 0.5) AS BIGINT) AS ratio_e4",
+          "CASE WHEN 10000.0*h/t >= 300.0 THEN 'en-like' ELSE 'other' END AS pred"),
+    Some(s"""WITH tk AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+      c AS (SELECT doc_id,
+        CAST(len(list_filter(toks, w -> w IN $EnMarkers)) AS BIGINT) AS h,
+        CAST(len(toks) AS BIGINT) AS t FROM tk)
+      SELECT doc_id, h AS en_hits,
+        CAST(FLOOR(10000.0*h/t + 0.5) AS BIGINT) AS ratio_e4,
+        CASE WHEN 10000.0*h/t >= 300.0 THEN 'en-like' ELSE 'other' END AS pred
+      FROM c"""))
+
+  /** Quality scoring: type-token ratio, average token length, length-
+    * saturating quality score — all exact fixed-point. */
+  private val q11 = Q(
+    "q11_quality",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .selectExpr("doc_id", s"$SparkToks AS toks")
+        .selectExpr(
+          "doc_id",
+          "CAST(size(toks) AS BIGINT) AS t",
+          "CAST(size(array_distinct(toks)) AS BIGINT) AS nd",
+          "aggregate(toks, 0L, (acc, w) -> acc + CAST(length(w) AS BIGINT)) AS sumlen")
+        .selectExpr(
+          "doc_id",
+          "t AS n_tokens",
+          "nd AS n_distinct",
+          "CAST(FLOOR(10000.0*nd/t + 0.5) AS BIGINT) AS ttr_e4",
+          "CAST(FLOOR(100.0*sumlen/t + 0.5) AS BIGINT) AS avg_tok_len_e2",
+          "CAST(FLOOR(10000.0 * LEAST(1.0, t/200.0) * (nd*1.0/t) + 0.5) AS BIGINT) AS quality_e4"),
+    Some(s"""WITH tk AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+      c AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS t,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+        CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS sumlen
+        FROM tk)
+      SELECT doc_id, t AS n_tokens, nd AS n_distinct,
+        CAST(FLOOR(10000.0*nd/t + 0.5) AS BIGINT) AS ttr_e4,
+        CAST(FLOOR(100.0*sumlen/t + 0.5) AS BIGINT) AS avg_tok_len_e2,
+        CAST(FLOOR(10000.0 * LEAST(1.0, t/200.0) * (nd*1.0/t) + 0.5) AS BIGINT) AS quality_e4
+      FROM c"""))
+
+  /** Document fingerprinting: content hash + whitespace-normalized hash. */
+  private val q12 = Q(
+    "q12_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .selectExpr(
+          "doc_id",
+          "md5(CAST(text AS BINARY)) AS fp",
+          "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp_norm"),
+    Some("""SELECT doc_id,
+      md5(text) AS fp,
+      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_norm
+      FROM documents"""))
+
+  // =====================================================================
+  // Deduplication — training-data-pipeline operators
+  // =====================================================================
+
+  /** Exact dedup: hash-groupBy on content hash; keeps the smallest doc_id
+    * as the group representative. At 100 TB this is the classic
+    * shuffle-on-digest pattern (shuffle key is the 128-bit hash, never the
+    * document body). */
+  private val q13 = Q(
+    "q13_dedup_exact",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(expr("md5(CAST(text AS BINARY))").as("fp"))
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id")),
+    Some("""SELECT md5(text) AS fp,
+      CAST(COUNT(*) AS BIGINT) AS n_dups,
+      CAST(MIN(doc_id) AS BIGINT) AS keep_id
+      FROM documents GROUP BY 1"""))
+
+  /** MinHash signatures (4 bands x 2 hashes, md5 hash family shared with
+    * the oracle): per-document LSH band buckets. Banding keys are what a
+    * 100 TB dedup shuffles on — constant-size per doc regardless of text
+    * length. */
+  private val q14 = {
+    def sparkBand(j: Int) =
+      s"md5(concat(array_min(transform(ws, w -> md5(concat(w, '#${2 * j}')))), " +
+        s"array_min(transform(ws, w -> md5(concat(w, '#${2 * j + 1}')))))) AS band$j"
+    def duckBand(j: Int) =
+      s"md5(list_min(list_transform(ws, w -> md5(w || '#${2 * j}'))) || " +
+        s"list_min(list_transform(ws, w -> md5(w || '#${2 * j + 1}')))) AS band$j"
+    Q(
+      "q14_minhash_sig",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .selectExpr("doc_id", s"array_distinct($SparkToks) AS ws")
+          .selectExpr("doc_id" +: (0 until 4).map(sparkBand): _*),
+      Some(s"""WITH w AS (SELECT doc_id, list_distinct($DuckToks) AS ws FROM documents)
+        SELECT doc_id, ${(0 until 4).map(duckBand).mkString(", ")}
+        FROM w"""))
+  }
+
+  /** End-to-end near-dup detection: the corpus is augmented with a mutated
+    * copy of itself (first token dropped, id+1000000) so candidate pairs
+    * exist by construction; 8-band MinHash LSH over 3-gram SHINGLES
+    * proposes pairs, exact shingle-Jaccard >= 0.8 confirms. Shingles (not
+    * unigrams) matter at scale: with a shared vocabulary, unigram sets of
+    * unrelated docs overlap heavily and the candidate set explodes
+    * quadratically; trigram shingles keep buckets selective. The
+    * self-join runs on the tiny (id, band, bucket) projection — document
+    * shingle sets are only re-joined for surviving candidates. */
+  private val q15 = {
+    // dialect pair: 3-gram shingles over toks (guarded for <3 tokens;
+    // Spark's sequence(a,b) descends when b<a, DuckDB's generate_series
+    // returns [] — the CASE keeps both on the empty path)
+    val sparkShingles =
+      "CASE WHEN size(toks) >= 3 THEN array_distinct(transform(sequence(1, size(toks)-2), " +
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    val duckShingles =
+      "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(generate_series(1, len(toks)-2), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) " +
+        "ELSE CAST([] AS VARCHAR[]) END"
+    Q(
+      "q15_lsh_near_dup",
+      (s, dir) => {
+        val base = t(s, dir, "documents").selectExpr("doc_id AS id", s"$SparkToks AS toks")
+        val aug = base.unionByName(
+            base.selectExpr("id + 1000000 AS id", "slice(toks, 2, size(toks)) AS toks"))
+          .selectExpr("id", s"$sparkShingles AS sh")
+        val sigs = aug
+          .selectExpr("id", "sh", "explode(sequence(0, 7)) AS b")
+          .selectExpr("id", "b",
+            "md5(concat(" +
+              "array_min(transform(sh, w -> md5(concat(w, '#', CAST(2*b AS STRING))))), " +
+              "array_min(transform(sh, w -> md5(concat(w, '#', CAST(2*b+1 AS STRING)))))" +
+              ")) AS bucket")
+        val s1 = sigs.selectExpr("id AS id_a", "b AS b_a", "bucket AS bucket_a")
+        val s2 = sigs.selectExpr("id AS id_b", "b AS b_b", "bucket AS bucket_b")
+        val pairs = s1.join(s2,
+            expr("b_a = b_b AND bucket_a = bucket_b AND id_a < id_b"))
+          .select("id_a", "id_b").distinct()
+        pairs
+          .join(aug.selectExpr("id AS id_a", "sh AS sh_a"), Seq("id_a"))
+          .join(aug.selectExpr("id AS id_b", "sh AS sh_b"), Seq("id_b"))
+          .selectExpr("id_a", "id_b",
+            "CAST(FLOOR(10000.0 * size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b)) + 0.5) AS BIGINT) AS jaccard_e4")
+          .filter("jaccard_e4 >= 8000")
+      },
+      Some(s"""WITH base AS (SELECT doc_id AS id, $DuckToks AS toks FROM documents),
+        aug0 AS (SELECT id, toks FROM base
+                UNION ALL SELECT id + 1000000 AS id, toks[2:] AS toks FROM base),
+        aug AS (SELECT id, $duckShingles AS sh FROM aug0),
+        sigs AS (SELECT id, b,
+            md5(list_min(list_transform(sh, w -> md5(w || '#' || CAST(2*b AS VARCHAR)))) ||
+                list_min(list_transform(sh, w -> md5(w || '#' || CAST(2*b+1 AS VARCHAR))))) AS bucket
+          FROM aug, (SELECT unnest(generate_series(0, 7)) AS b) bands),
+        pairs AS (SELECT DISTINCT s1.id AS id_a, s2.id AS id_b
+          FROM sigs s1 JOIN sigs s2 ON s1.b = s2.b AND s1.bucket = s2.bucket AND s1.id < s2.id),
+        j AS (SELECT p.id_a, p.id_b,
+            CAST(FLOOR(10000.0 * len(list_intersect(a.sh, bb.sh)) / len(list_distinct(list_concat(a.sh, bb.sh))) + 0.5) AS BIGINT) AS jaccard_e4
+          FROM pairs p JOIN aug a ON a.id = p.id_a JOIN aug bb ON bb.id = p.id_b)
+        SELECT id_a, id_b, jaccard_e4 FROM j WHERE jaccard_e4 >= 8000"""))
+  }
+
+  // =====================================================================
+  // Similarity search over embeddings
+  // =====================================================================
+
+  /** Brute-force cosine top-5 for the first 100 probe vectors against all
+    * vectors, on int-quantized embeddings (e3 fixed point) so the dot
+    * product and norms are exact integers in both engines; the final
+    * cosine is one double division+sqrt evaluated identically. The build
+    * side is broadcast — at scale this is the standard "broadcast the
+    * (quantized) index shard, stream the probes" brute-force baseline;
+    * q14/q15 carry the LSH-bucketed scale path for text, and the same
+    * banding applies to embeddings via sign-random-projection. */
+  private val q16 = Q(
+    "q16_ann_topk",
+    (s, dir) => {
+      val qq = t(s, dir, "embeddings")
+        .selectExpr(
+          "vec_id",
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv")
+        .selectExpr("vec_id", "qv",
+          "aggregate(qv, 0L, (acc, v) -> acc + v*v) AS nrm")
+      val probes = qq.filter(col("vec_id") < 100)
+        .selectExpr("vec_id", "qv AS qa", "nrm AS na")
+      val index = qq.selectExpr("vec_id AS neighbor_id", "qv AS qb", "nrm AS nb")
+      val scored = probes
+        .join(broadcast(index), col("vec_id") =!= col("neighbor_id"))
+        .selectExpr("vec_id", "neighbor_id",
+          "aggregate(transform(sequence(1, 64), i -> element_at(qa, i)*element_at(qb, i)), 0L, (acc, v) -> acc + v) AS dot",
+          "na", "nb")
+        .selectExpr("vec_id", "neighbor_id",
+          "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS c")
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("c").desc, col("neighbor_id"))))
+        .filter(col("rnk") <= 5)
+        .selectExpr("vec_id", "neighbor_id", "CAST(rnk AS BIGINT) AS rnk",
+          "CAST(FLOOR(c*1000000.0 + 0.5) AS BIGINT) AS cos_e6")
+    },
+    Some("""WITH q AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+      qq AS (SELECT vec_id, qv,
+        CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS nrm FROM q),
+      pairs AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+          CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot,
+          a.nrm AS na, b.nrm AS nb
+        FROM qq a JOIN qq b ON a.vec_id < 100 AND a.vec_id <> b.vec_id),
+      cosd AS (SELECT vec_id, neighbor_id,
+          CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS c
+        FROM pairs)
+      SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+        CAST(FLOOR(c*1000000.0 + 0.5) AS BIGINT) AS cos_e6
+      FROM (SELECT vec_id, neighbor_id, c,
+              row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rnk
+            FROM cosd)
+      WHERE rnk <= 5"""))
+
+  // =====================================================================
+  // Extraction pipeline + engine-native ops (rows-only driver check; the
+  // byte-identical gate runs in `sbt -batch test`, see PipelineSpec /
+  // CorpusExtractionSpec)
+  // =====================================================================
+
+  /** Flagship extraction correctness rollup: synthesize 1200 pages,
+    * extract (HTML boilerplate strip + PDF content-stream parse), compare
+    * byte-identical against goldens, roll up per kind. */
+  private val q17 = Q(
+    "q17_extract_verify",
+    (s, _) => {
+      val n = 1200L
+      val verdicts = ExtractPipeline.verifyAgainstGoldens(
+        ExtractPipeline.extract(ExtractPipeline.pages(s, n), numPartitions = 32),
+        ExtractPipeline.goldens(s, n))
+      verdicts.groupBy("kind").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("matched"), 1L).otherwise(0L)).as("n_byte_identical"))
+    },
+    None)
+
+  /** SimHash near-dup banding via the native codegen'd Catalyst
+    * expression (graft.functions.SimHash64). */
+  private val q18 = Q(
+    "q18_simhash",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          GraftFunctions.simhash64(col("text")).as("simhash"),
+          shiftrightunsigned(GraftFunctions.simhash64(col("text")), 48).as("band16")),
+    None)
+
+  /** Checkpoint-resume lineage: run the resumable bucketed pipeline over a
+    * fresh synthesized corpus and return the per-bucket lineage rows
+    * (north rule: per-partition lineage + metrics). */
+  private val q19 = Q(
+    "q19_resume_lineage",
+    (s, _) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q19").toString
+      GraftTable.runResumable(
+        s, ExtractPipeline.pages(s, 160), root,
+        nBuckets = 8, bucketsPerWave = 4,
+        CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet,
+        tasksPerWave = 8)
+      s.read.parquet(s"$root/lineage")
+        .selectExpr("bucket", "n_docs", "n_ok", "n_err", "bytes_in", "attempt")
+    },
+    None)
+
+  /** Multimodal binary-column stage over the synthesized corpus (decode
+    * is a clearly-marked stub; plumbing is real — see
+    * graft.multimodal.BinaryFeatures). */
+  private val q20 = Q(
+    "q20_binary_features",
+    (s, _) =>
+      graft.multimodal.BinaryFeatures.stage(ExtractPipeline.pages(s, 800))
+        .toDF()
+        .selectExpr("url", "format", "n_bytes", "head_hex", "entropy_e4"),
+    None)
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+}
