@@ -1,24 +1,118 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.pipeline.ExtractPipeline
+import graft.corpus.CorpusGen
+
+/** Benchmark main. Emits ONE JSON line:
+  *   - per-query wall seconds for every SparkEntry query at
+  *     SPARK_GRAFT_CPUS parallelism on SPARK_GRAFT_SF_DIR;
+  *   - the headline metric from BASELINE.json: end-to-end extraction
+  *     docs/sec (HTML boilerplate strip + PDF content-stream parse +
+  *     scoring, byte-identical-gated corpus) over a pre-materialized
+  *     parquet pages table;
+  *   - the north rule's two-cluster-size scaling evidence: the same
+  *     extraction job at local[N_LO] vs local[N_HI] (sandbox stand-in
+  *     for N vs 4N executors) + throughput scaling efficiency.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // split the (highly compressed) bench corpus finely enough that the
+      // scan stage can occupy every core; the 128 MB default is tuned for
+      // real clusters reading TB-scale inputs, not a 150 MB fixture
+      .config("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timeSec(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Timed leg: read the materialized pages table, parse+score, count. */
+  private def extractLeg(spark: SparkSession, pagesPath: String, tasks: Int): Long = {
+    import spark.implicits._
+    val pages = spark.read.parquet(pagesPath).as[graft.model.PageRecord]
+    ExtractPipeline.extractAndScore(
+      pages, numPartitions = tasks,
+      CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet)
+      .mapPartitions(it => Iterator.single(it.count(_.ok).toLong))
+      .reduce(_ + _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "160000").toLong
+    // N -> 4N parallelism pair for the scaling criterion. 4 -> 16 cores:
+    // this VM advertises 32 CPUs but pure-thread microbenchmarks saturate
+    // at ~16 threads (host cycle cap — see BASELINE.md), so 8 -> 32 would
+    // measure the hypervisor, not the engine.
+    val cpusLo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "4").toInt
+    val warmDocs = 4000L
+
+    // ---- phase 1: query suite at `cpus` ------------------------------
+    var spark = session(cpus)
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = timeSec {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- phase 2: extraction headline + scaling ----------------------
+    // materialize the corpus once (untimed — input I/O setup, the stand-in
+    // for the pre-existing Iceberg pages table)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_pages")
+    val pagesPath = tmp.resolve("pages").toString
+    val warmPath = tmp.resolve("warm").toString
+    ExtractPipeline.pages(spark, nDocs, cpus * 4)
+      .write.mode("overwrite").parquet(pagesPath)
+    ExtractPipeline.pages(spark, warmDocs, cpus).write.parquet(warmPath)
+
+    // warm the JIT (parsers + codegen) before any timed leg
+    extractLeg(spark, warmPath, cpus)
+    extractLeg(spark, pagesPath, 0)
+    var okHi = 0L
+    val tHiAtCpus = timeSec { okHi = extractLeg(spark, pagesPath, 0) }
     spark.stop()
+
+    // scaling legs: identical input + plan, two parallelism levels,
+    // best-of-2 per level (same discipline for both, so noise can't
+    // flatter the ratio)
+    def leg(c: Int): Double = {
+      val s = session(c)
+      extractLeg(s, warmPath, c) // session warm
+      val t = math.min(
+        timeSec { extractLeg(s, pagesPath, 0) },
+        timeSec { extractLeg(s, pagesPath, 0) })
+      s.stop()
+      t
+    }
+    val tLo = leg(cpusLo)
+    val cpusHi = cpusLo * 4
+    val tHi = leg(cpusHi)
+
+    val docsPerSec = nDocs / tHiAtCpus
+    val efficiency = (tLo / tHi) / (cpusHi.toDouble / cpusLo)
+
+    def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = queryTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).sum
+    println(
+      s"""{"metric":"extract_docs_per_sec","value":${f(docsPerSec)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","queries_total_sec":${f(total)},"extract_docs":$nDocs,"extract_ok":$okHi,"extract_sec":${f(tHiAtCpus)}""" +
+      s""","scaling":{"cpus_lo":$cpusLo,"sec_lo":${f(tLo)},"cpus_hi":$cpusHi,"sec_hi":${f(tHi)},"efficiency":${f(efficiency)}}}""")
   }
 }

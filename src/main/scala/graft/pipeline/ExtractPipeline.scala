@@ -45,16 +45,31 @@ object ExtractPipeline {
       "citation_spans", "target_hits", "bycatch_hits", "total_words")
   }
 
-  /** Parse stage. `salt` varies per attempt so retries re-balance. */
+  /** Parse stage. `numPartitions = 0` parses on the scan splits (see
+    * extractAndScore); `> 0` forces the salted url-hash repartition.
+    * `salt` varies per attempt so retries re-balance. */
   def extract(pages: Dataset[PageRecord], numPartitions: Int, salt: Long = 0L): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages
-      .repartition(numPartitions, xxhash64(col("url"), lit(salt)))
-      .mapPartitions(_.map(Extractor.extract))
+    val routed =
+      if (numPartitions > 0)
+        pages.repartition(numPartitions, xxhash64(col("url"), lit(salt)))
+      else pages
+    routed.mapPartitions(_.map(Extractor.extract))
   }
 
-  /** Parse + score stage in ONE partition pass (no extra shuffle). */
+  /** Parse + score stage in ONE partition pass.
+    *
+    * `numPartitions = 0` (preferred at scale) parses directly on the scan
+    * splits — extraction cost is proportional to input bytes, and byte-
+    * balanced splits (`spark.sql.files.maxPartitionBytes`) already defuse
+    * domain skew, so shuffling the raw html bytes would only move the
+    * whole corpus across the wire for nothing. Pass `numPartitions > 0`
+    * to force the salted url-hash repartition — needed only when the
+    * input layout itself is pathological (e.g. unsplittable files with
+    * wildly different row costs); the resumable table path
+    * (graft.table.GraftTable) keeps its bucketed shuffle because resume
+    * semantics need deterministic bucket -> task ownership. */
   def extractAndScore(
       pages: Dataset[PageRecord],
       numPartitions: Int,
@@ -65,13 +80,15 @@ object ExtractPipeline {
     import spark.implicits._
     val bcTarget = spark.sparkContext.broadcast(targetWords)
     val bcBycatch = spark.sparkContext.broadcast(bycatchWords)
-    pages
-      .repartition(numPartitions, xxhash64(col("url"), lit(salt)))
-      .mapPartitions { it =>
-        val t = bcTarget.value
-        val b = bcBycatch.value
-        it.map(p => Extractor.score(Extractor.extract(p), t, b))
-      }
+    val routed =
+      if (numPartitions > 0)
+        pages.repartition(numPartitions, xxhash64(col("url"), lit(salt)))
+      else pages
+    routed.mapPartitions { it =>
+      val t = bcTarget.value
+      val b = bcBycatch.value
+      it.map(p => Extractor.score(Extractor.extract(p), t, b))
+    }
   }
 
   /** Byte-identical verification: extracted vs golden per url.

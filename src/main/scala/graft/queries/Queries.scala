@@ -520,7 +520,54 @@ object Queries {
         .selectExpr("url", "format", "n_bytes", "head_hex", "entropy_e4"),
     None)
 
+  /** Citation-edge staging: explode each doc's citation spans carrying the
+    * parent title — one Generate operator where the reference needs
+    * stager+loop+positional-join (SURVEY.md §3.3). */
+  private val q21 = Q(
+    "q21_citation_edges",
+    (s, _) => {
+      import s.implicits._
+      val extracted = ExtractPipeline.extract(
+        ExtractPipeline.pages(s, 400), numPartitions = 0)
+      graft.pipeline.Stagers.explodeWithSource(
+        extracted.toDF(), "title", "citation_spans")
+    },
+    None)
+
+  /** Offline enrichment: broadcast-hash LEFT join of extracted docs vs the
+    * deterministic Dimensions-style snapshot, misses filled "N/A". */
+  private val q22 = Q(
+    "q22_enrich_join",
+    (s, _) => {
+      import s.implicits._
+      val extracted = ExtractPipeline.extract(
+        ExtractPipeline.pages(s, 400), numPartitions = 0)
+      graft.pipeline.Enrichment.enrich(
+        extracted.toDF().select("url", "doi", "title"),
+        graft.pipeline.Enrichment.dimensionsSnapshot(s, 400))
+    },
+    None)
+
+  /** Python-dict-literal cell cleanup (never eval) with the reference's
+    * partition-then-concat reorder — SURVEY.md §2.2 row 15. */
+  private val q23 = Q(
+    "q23_dict_cells",
+    (s, _) => {
+      import s.implicits._
+      val cells = s.range(0, 300, 1, 4).map { i =>
+        val cell =
+          if (i % 3 == 0) s"{'doi': '10.5555/x$i', 'title': 'T$i', 'year': ${2000 + (i % 25)}}"
+          else if (i % 3 == 1) s"10.5555/y$i"
+          else "N/A"
+        (i, cell)
+      }.toDF("row_id", "doi")
+      graft.pipeline.Stagers.cleanDictColumn(
+        cells, "doi", "doi", referenceReorder = true)
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23)
 }

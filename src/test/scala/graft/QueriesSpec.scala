@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.queries.Queries
+import graft.textops.TextOps
+
+/** Executes every SparkEntry query against the smallest fixture and pins
+  * (a) non-empty results, (b) value-level spot checks against pure-Scala
+  * recomputation, (c) the physical-plan properties that matter at 100 TB:
+  * filter pushdown into the parquet scan, broadcast joins for dims,
+  * whole-stage codegen on the scoring arithmetic.
+  */
+class QueriesSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    Queries.all.find(_.name == name).get.fn(spark, sf)
+
+  test("every query executes and returns rows on sf0.001") {
+    Queries.all.foreach { q =>
+      val n = q.fn(spark, sf).count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("oracle SQL exists for every SQL-expressible query") {
+    val withOracle = Queries.all.count(_.oracle.isDefined)
+    assert(withOracle == 16)
+    // names in queries and oracleSql line up
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q09_wordscore matches pure-Scala recomputation per doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val target = Set("spark", "table", "query", "join", "agg", "scan", "hash", "merge", "sort", "stream")
+    val bycatch = Set("slow", "big", "small")
+    val got = run("q09_wordscore").collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val text = docs(r.getLong(0))
+      val toks = TextOps.tokenize(text)
+      val m = toks.count(target.contains)
+      val b = toks.count(bycatch.contains)
+      val t = toks.length
+      assert(r.getLong(1) == m, s"doc ${r.getLong(0)} matching_terms")
+      assert(r.getLong(2) == b)
+      assert(r.getLong(3) == t)
+      val score = math.min(1.0, math.max(0.0, (m * 1.0 + b * -0.25 + (t - m - b) * 0.5) / t))
+      assert(r.getLong(4) == math.floor(score * 10000.0 + 0.5).toLong)
+    }
+  }
+
+  test("q16_ann_topk: rank-1 neighbor matches brute-force cosine") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def q(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val top1 = run("q16_ann_topk").filter("rnk = 1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1.nonEmpty)
+    top1.foreach { case (probe, neighbor) =>
+      val pv = q(vecs(probe))
+      val best = vecs.filter(_._1 != probe)
+        .map { case (id, v) => (id, cos(pv, q(v))) }
+        .maxBy { case (id, c) => (c, -id) } // tie-break: smaller id wins
+      assert(neighbor == best._1, s"probe $probe: got $neighbor want ${best._1}")
+    }
+  }
+
+  test("q15_lsh_near_dup finds every planted mutant pair") {
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val pairs = run("q15_lsh_near_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every doc's mutated copy (id+1000000, first token dropped) must be
+    // recalled through the 8-band LSH + jaccard>=0.8 gate
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000L)).toSet
+    val recalled = planted.intersect(pairs)
+    assert(recalled.size >= (nDocs * 0.95).toInt,
+      s"LSH recall too low: ${recalled.size}/$nDocs")
+  }
+
+  private def executedPlanString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 pushes the shipdate predicate into the parquet scan") {
+    val plan = executedPlanString(run("q02_filter_monthly"))
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") || plan.contains("GreaterThanOrEqual(`l_shipdate`"),
+      "shipdate range not pushed: " + plan.take(2000))
+  }
+
+  test("q03/q04/q16 use broadcast hash joins for small sides") {
+    Seq("q03_join_revenue", "q04_dim_bcast", "q16_ann_topk").foreach { name =>
+      val plan = executedPlanString(run(name))
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$name has no broadcast join:\n${plan.take(1500)}")
+    }
+  }
+
+  test("scoring queries stay inside whole-stage codegen (no UDF break)") {
+    Seq("q09_wordscore", "q10_langid", "q11_quality").foreach { name =>
+      val df = run(name)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      def hasCodegen(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case _: WholeStageCodegenExec => true
+        case a: AdaptiveSparkPlanExec => hasCodegen(a.executedPlan)
+        case other => other.children.exists(hasCodegen)
+      }
+      assert(hasCodegen(plan), s"$name fell out of codegen")
+    }
+  }
+
+  test("q02 scan prunes columns to the 3 referenced ones") {
+    val plan = executedPlanString(run("q02_filter_monthly"))
+    val readSchema = "ReadSchema:.*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+}
