@@ -316,24 +316,26 @@ object Queries {
       CAST(MIN(doc_id) AS BIGINT) AS keep_id
       FROM documents GROUP BY 1"""))
 
-  /** MinHash signatures (4 bands x 2 hashes, md5 hash family shared with
-    * the oracle): per-document LSH band buckets. Banding keys are what a
-    * 100 TB dedup shuffles on — constant-size per doc regardless of text
-    * length. */
+  /** MinHash signatures (4 bands, md5 hash family shared with the
+    * oracle): per-document LSH band buckets. ONE md5 per token, then the
+    * 128-bit digest is sliced into four independent 32-bit hex lanes and
+    * the band key is the per-lane minimum — 4x less hashing than
+    * hash-per-band, which matters when the hash pass touches every token
+    * of 100 TB. Banding keys are what a dedup shuffles on — constant
+    * size per doc regardless of text length. */
   private val q14 = {
     def sparkBand(j: Int) =
-      s"md5(concat(array_min(transform(ws, w -> md5(concat(w, '#${2 * j}')))), " +
-        s"array_min(transform(ws, w -> md5(concat(w, '#${2 * j + 1}')))))) AS band$j"
+      s"array_min(transform(hs, h -> substring(h, ${8 * j + 1}, 8))) AS band$j"
     def duckBand(j: Int) =
-      s"md5(list_min(list_transform(ws, w -> md5(w || '#${2 * j}'))) || " +
-        s"list_min(list_transform(ws, w -> md5(w || '#${2 * j + 1}')))) AS band$j"
+      s"list_min(list_transform(hs, h -> substr(h, ${8 * j + 1}, 8))) AS band$j"
     Q(
       "q14_minhash_sig",
       (s, dir) =>
         t(s, dir, "documents")
-          .selectExpr("doc_id", s"array_distinct($SparkToks) AS ws")
+          .selectExpr("doc_id", s"transform(array_distinct($SparkToks), w -> md5(CAST(w AS BINARY))) AS hs")
           .selectExpr("doc_id" +: (0 until 4).map(sparkBand): _*),
-      Some(s"""WITH w AS (SELECT doc_id, list_distinct($DuckToks) AS ws FROM documents)
+      Some(s"""WITH w AS (SELECT doc_id,
+          list_transform(list_distinct($DuckToks), w -> md5(w)) AS hs FROM documents)
         SELECT doc_id, ${(0 until 4).map(duckBand).mkString(", ")}
         FROM w"""))
   }
@@ -366,13 +368,15 @@ object Queries {
         val aug = base.unionByName(
             base.selectExpr("id + 1000000 AS id", "slice(toks, 2, size(toks)) AS toks"))
           .selectExpr("id", s"$sparkShingles AS sh")
+        // two md5s per shingle -> 64 hex chars -> eight independent 32-bit
+        // lanes; band bucket = per-lane minimum (8x less hashing than
+        // hash-per-band over every shingle)
         val sigs = aug
-          .selectExpr("id", "sh", "explode(sequence(0, 7)) AS b")
+          .selectExpr("id",
+            "transform(sh, w -> concat(md5(CAST(w AS BINARY)), md5(CAST(concat(w, '#') AS BINARY)))) AS hs")
+          .selectExpr("id", "hs", "explode(sequence(0, 7)) AS b")
           .selectExpr("id", "b",
-            "md5(concat(" +
-              "array_min(transform(sh, w -> md5(concat(w, '#', CAST(2*b AS STRING))))), " +
-              "array_min(transform(sh, w -> md5(concat(w, '#', CAST(2*b+1 AS STRING)))))" +
-              ")) AS bucket")
+            "array_min(transform(hs, h -> substring(h, 8*b + 1, 8))) AS bucket")
         val s1 = sigs.selectExpr("id AS id_a", "b AS b_a", "bucket AS bucket_a")
         val s2 = sigs.selectExpr("id AS id_b", "b AS b_b", "bucket AS bucket_b")
         val pairs = s1.join(s2,
@@ -389,10 +393,11 @@ object Queries {
         aug0 AS (SELECT id, toks FROM base
                 UNION ALL SELECT id + 1000000 AS id, toks[2:] AS toks FROM base),
         aug AS (SELECT id, $duckShingles AS sh FROM aug0),
+        sigs0 AS (SELECT id,
+            list_transform(sh, w -> md5(w) || md5(w || '#')) AS hs FROM aug),
         sigs AS (SELECT id, b,
-            md5(list_min(list_transform(sh, w -> md5(w || '#' || CAST(2*b AS VARCHAR)))) ||
-                list_min(list_transform(sh, w -> md5(w || '#' || CAST(2*b+1 AS VARCHAR))))) AS bucket
-          FROM aug, (SELECT unnest(generate_series(0, 7)) AS b) bands),
+            list_min(list_transform(hs, h -> substr(h, 8*b + 1, 8))) AS bucket
+          FROM sigs0, (SELECT unnest(generate_series(0, 7)) AS b) bands),
         pairs AS (SELECT DISTINCT s1.id AS id_a, s2.id AS id_b
           FROM sigs s1 JOIN sigs s2 ON s1.b = s2.b AND s1.bucket = s2.bucket AND s1.id < s2.id),
         j AS (SELECT p.id_a, p.id_b,

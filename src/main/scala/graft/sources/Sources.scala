@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scan/source/sink operators from SURVEY.md §2.1 — each maps one
+  * reference ingest path onto the matching Spark source so Catalyst can
+  * prune/push down at the scan.
+  */
+object Sources {
+
+  /** CSV scan with column pruning — the reference's
+    * `pd.read_csv(..., usecols=[column])` + NA fill
+    * (/root/reference/src/serials.py:26-43, :89-106). Catalyst prunes the
+    * scan to `column` (ReadSchema shows one field). */
+  def csvColumn(spark: SparkSession, path: String, column: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+      .select(coalesce(col(column), lit("N/A")).as(column))
+
+  /** Recursive PDF directory scan — the reference's `rglob("*.pdf")`
+    * (/root/reference/src/serials.py:46-63) as a binaryFile source; rows
+    * carry (path, modificationTime, length, content). */
+  def pdfDirectory(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.pdf")
+      .load(dir)
+
+  /** Word-set file load: one word per line, strip+lower, de-duplicated —
+    * driver-side once, then broadcast (the reference re-reads per
+    * document, /root/reference/src/docscraper.py:110-127,146-147). */
+  def wordSet(spark: SparkSession, path: String): Set[String] = {
+    import spark.implicits._
+    graft.textops.TextOps.loadWordSet(
+      spark.read.textFile(path).collect().iterator)
+  }
+
+  /** Dated export name — the reference's `{today}_{prefix}.csv` with
+    * `strftime("%y%m%d")` (/root/reference/src/fetch.py:258-263,
+    * src/config.py:83); the image-name randint is replaced by a
+    * deterministic content hash (non-determinism there is incidental,
+    * SURVEY.md §2.7 row 47). */
+  def exportName(prefix: String, today: java.time.LocalDate): String =
+    today.format(java.time.format.DateTimeFormatter.ofPattern("yyMMdd")) +
+      s"_$prefix.csv"
+
+  /** CSV export sink — the reference's `df.to_csv(..., index=False)`
+    * (/root/reference/src/fetch.py:236-250). `coalesce(1)` reproduces the
+    * single-file layout for golden comparison; production writes stay
+    * partitioned parquet (graft.table.GraftTable). */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+}
