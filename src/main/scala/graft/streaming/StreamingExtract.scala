@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.{PageRecord, ScoredDoc}
+import graft.pipeline.Extractor
+
+/** Structured Streaming front-end for the engine: the same extraction
+  * semantics as the batch pipeline, run continuously over newly-landed
+  * page files. The reference is strictly batch (SURVEY.md §2.8); this is
+  * the engine-native continuous-ingestion capability a Common-Crawl-style
+  * feed needs: files land in the table directory, micro-batches pick them
+  * up exactly-once via the checkpoint, and the parse stage is the
+  * identical per-partition code path as batch — one implementation, two
+  * execution modes.
+  */
+object StreamingExtract {
+
+  /** Schema of the pages table (BASELINE.json input_hint). */
+  val pageSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[PageRecord].schema
+
+  /** Streaming source over the pages directory. */
+  def pagesStream(spark: SparkSession, inDir: String): Dataset[PageRecord] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", "32") // bound micro-batch size
+      .parquet(inDir)
+      .as[PageRecord]
+  }
+
+  /** Extract+score on the stream — same Extractor code as batch; word
+    * sets broadcast once per query, reused across micro-batches. */
+  def scoredStream(
+      pages: Dataset[PageRecord],
+      targetWords: Set[String],
+      bycatchWords: Set[String]): Dataset[ScoredDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val bcT = spark.sparkContext.broadcast(targetWords)
+    val bcB = spark.sparkContext.broadcast(bycatchWords)
+    pages.mapPartitions { it =>
+      val t = bcT.value; val b = bcB.value
+      it.map(p => Extractor.score(Extractor.extract(p), t, b))
+    }
+  }
+
+  /** Run to a parquet sink with checkpointed exactly-once file tracking.
+    * `availableNow = true` drains everything currently in the directory
+    * and stops (used by tests and backfills); false runs continuously. */
+  def run(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpointDir: String,
+      targetWords: Set[String],
+      bycatchWords: Set[String],
+      availableNow: Boolean = true): StreamingQuery = {
+    val scored = scoredStream(pagesStream(spark, inDir), targetWords, bycatchWords)
+    val writer = scored.toDF().writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Watermarked tumbling-window event rollup — the streaming analog of
+    * q06. Late events beyond the watermark are dropped and window state
+    * is evicted, so state size is bounded regardless of stream length. */
+  def eventWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("FLOOR(value*100.0 + 0.5)")).as("sum_value_e2"))
+      .selectExpr("w.start AS window_start", "event_type", "n_events", "sum_value_e2")
+
+  /** Stateful streaming dedup on url within the watermark horizon —
+    * exact-dup suppression at ingest time (state-store backed; the batch
+    * analogs are q13/q15). */
+  def dedupStream(pages: Dataset[PageRecord]): Dataset[PageRecord] =
+    pages
+      .withWatermark("warc_ts", "1 hour")
+      .dropDuplicates("url")
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingExtract
+import graft.pipeline.ExtractPipeline
+import graft.corpus.CorpusGen
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val tmp = Files.createTempDirectory("graft_stream").toString
+
+  test("streaming extraction drains the directory and matches goldens") {
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    ExtractPipeline.pages(spark, 120, 4).write.parquet(in)
+    val q = StreamingExtract.run(spark, in, out, ck,
+      CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet)
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 120)
+    // byte-identical against goldens, through the streaming path
+    val joined = got.select(col("url"), col("extracted_text").as("got"))
+      .join(ExtractPipeline.goldens(spark, 120, 4)
+        .select(col("url"), col("extracted_text").as("want")), "url")
+    assert(joined.filter(col("got") =!= col("want")).count() == 0)
+
+    // exactly-once on restart: re-running over the same checkpoint adds
+    // nothing (no new files)
+    val q2 = StreamingExtract.run(spark, in, out, ck,
+      CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == 120)
+
+    // incremental pickup: land 40 more docs, only they are processed
+    ExtractPipeline.pages(spark, 160, 4).filter(col("url").isNotNull)
+      .where(expr("CAST(substring_index(url, '/', -1) AS LONG) >= 120"))
+      .write.mode("append").parquet(in)
+    val q3 = StreamingExtract.run(spark, in, out, ck,
+      CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet)
+    q3.awaitTermination()
+    assert(spark.read.parquet(out).count() == 160)
+    assert(spark.read.parquet(out).select("url").distinct().count() == 160)
+  }
+
+  test("watermarked hourly windows equal the batch rollup after drain") {
+    val in = s"$tmp/events_in"
+    // watermarks need TIMESTAMP (LTZ); the fixture parquet reads as NTZ
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    events.write.parquet(in)
+    val stream = spark.readStream.schema(events.schema).parquet(in)
+    val windowed = StreamingExtract.eventWindows(stream)
+    val q = windowed.writeStream.format("memory").queryName("win_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("win_t")
+    // batch reference computation of the same rollup (windows whose state
+    // was closed by the watermark — with AvailableNow + append mode the
+    // final watermark passes the max ts, closing all but the tail window)
+    val want = events
+      .groupBy(expr("date_trunc('hour', ts)").as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("FLOOR(value*100.0 + 0.5)")).as("sum_value_e2"))
+    val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - 3 * 3600 * 1000L)
+    val wantClosed = want.filter(col("window_start") <= lit(horizon))
+    val mismatches = wantClosed.join(got,
+        Seq("window_start", "event_type", "n_events", "sum_value_e2"), "left_anti")
+    assert(mismatches.count() == 0,
+      s"closed windows missing from streaming output")
+    assert(got.count() >= wantClosed.count())
+  }
+
+  test("stateful streaming dedup suppresses re-crawled urls in-batch") {
+    val in = s"$tmp/dup_in"
+    val p = ExtractPipeline.pages(spark, 50, 2)
+    p.union(p).write.parquet(in) // every url twice
+    val deduped = StreamingExtract.dedupStream(
+      StreamingExtract.pagesStream(spark, in))
+    val q = deduped.toDF().writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_t")
+    assert(got.select("url").distinct().count() == 50)
+    assert(got.count() == 50, "duplicate urls leaked through the state store")
+  }
+}
