@@ -1,8 +1,23 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import graft.pipeline.ExtractPipeline
 import graft.corpus.CorpusGen
+
+/** Collects task wall times so the skew of the parse stage is measurable
+  * (max-task vs median-task — SURVEY.md §7.6). */
+private final class TaskTimeListener extends SparkListener {
+  val times = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+    if (e.taskMetrics != null)
+      times.add(e.taskInfo.finishTime - e.taskInfo.launchTime)
+  def clear(): Unit = times.clear()
+  def skew: (Long, Long) = {
+    val xs = times.toArray(Array.empty[java.lang.Long]).map(_.longValue()).sorted
+    if (xs.isEmpty) (0L, 0L) else (xs(xs.length / 2), xs.last)
+  }
+}
 
 /** Benchmark main. Emits ONE JSON line:
   *   - per-query wall seconds for every SparkEntry query at
@@ -84,8 +99,12 @@ object Bench {
     // warm the JIT (parsers + codegen) before any timed leg
     extractLeg(spark, warmPath, cpus)
     extractLeg(spark, pagesPath, 0)
+    val listener = new TaskTimeListener
+    spark.sparkContext.addSparkListener(listener)
     var okHi = 0L
     val tHiAtCpus = timeSec { okHi = extractLeg(spark, pagesPath, 0) }
+    Thread.sleep(500) // let the listener bus drain
+    val (medianTaskMs, maxTaskMs) = listener.skew
     spark.stop()
 
     // scaling legs: identical input + plan, two parallelism levels,
@@ -113,6 +132,7 @@ object Bench {
     println(
       s"""{"metric":"extract_docs_per_sec","value":${f(docsPerSec)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir"""" +
       s""","queries_total_sec":${f(total)},"extract_docs":$nDocs,"extract_ok":$okHi,"extract_sec":${f(tHiAtCpus)}""" +
+      s""","task_ms_median":$medianTaskMs,"task_ms_max":$maxTaskMs""" +
       s""","scaling":{"cpus_lo":$cpusLo,"sec_lo":${f(tLo)},"cpus_hi":$cpusHi,"sec_hi":${f(tHi)},"efficiency":${f(efficiency)}}}""")
   }
 }

