@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{DataType, FloatType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, FloatType, DoubleType, LongType, StringType, ArrayType}
 import org.apache.spark.sql.graftshim.Shim
 
 /** Native Catalyst expressions for the engine's hot-path scalar functions.
@@ -111,15 +112,64 @@ object SimHash64 {
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }
 
+/** Integer dot product over two ArrayType(LongType) columns — the ANN
+  * hot path (quantized-embedding similarity). A native expression with a
+  * tight codegen loop instead of `aggregate(zip_with(...))`, which
+  * allocates a lambda frame per element; at corpus x top-k scale the
+  * per-element overhead IS the query cost. Arrays shorter than the other
+  * side contribute only their overlap; null elements count as 0.
+  */
+case class DotI64(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_i64 needs two array<bigint> columns, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    DotI64.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotI64.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotI64 {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+}
+
 object GraftFunctions {
   def half_float(c: Column): Column =
     Shim.column(HalfFloat(Shim.expression(c)))
   def simhash64(c: Column): Column =
     Shim.column(SimHash64(Shim.expression(c)))
+  def dot_i64(a: Column, b: Column): Column =
+    Shim.column(DotI64(Shim.expression(a), Shim.expression(b)))
 
-  /** Register for SQL use: half_float(x), simhash64(s). */
+  /** Register for SQL use: half_float(x), simhash64(s), dot_i64(a, b). */
   def registerAll(spark: SparkSession): Unit = {
     Shim.registerFunction(spark, "half_float", exprs => HalfFloat(exprs.head))
     Shim.registerFunction(spark, "simhash64", exprs => SimHash64(exprs.head))
+    Shim.registerFunction(spark, "dot_i64", exprs => DotI64(exprs(0), exprs(1)))
   }
 }

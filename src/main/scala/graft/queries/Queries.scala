@@ -425,16 +425,15 @@ object Queries {
         .selectExpr(
           "vec_id",
           "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv")
-        .selectExpr("vec_id", "qv",
-          "aggregate(qv, 0L, (acc, v) -> acc + v*v) AS nrm")
+        .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
       val probes = qq.filter(col("vec_id") < 100)
         .selectExpr("vec_id", "qv AS qa", "nrm AS na")
       val index = qq.selectExpr("vec_id AS neighbor_id", "qv AS qb", "nrm AS nb")
       val scored = probes
         .join(broadcast(index), col("vec_id") =!= col("neighbor_id"))
-        .selectExpr("vec_id", "neighbor_id",
-          "aggregate(transform(sequence(1, 64), i -> element_at(qa, i)*element_at(qb, i)), 0L, (acc, v) -> acc + v) AS dot",
-          "na", "nb")
+        // native codegen'd integer dot product (graft.functions.DotI64) —
+        // same exact math as the oracle's list_sum(list_transform(...))
+        .withColumn("dot", GraftFunctions.dot_i64(col("qa"), col("qb")))
         .selectExpr("vec_id", "neighbor_id",
           "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS c")
       scored
@@ -562,8 +561,8 @@ object Queries {
           .selectExpr(
             "vec_id",
             "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv")
-          .selectExpr(Seq("vec_id", "qv",
-            "aggregate(qv, 0L, (acc, v) -> acc + v*v) AS nrm") ++ sTabs: _*)
+          .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
+          .selectExpr(Seq("vec_id", "qv", "nrm") ++ sTabs: _*)
         val sigs = qq.selectExpr("vec_id", sStack)
         val cand = sigs.filter(col("vec_id") < 100)
           .selectExpr("vec_id", "tbl", "bucket")
@@ -573,9 +572,7 @@ object Queries {
         val scored = cand
           .join(qq.selectExpr("vec_id", "qv AS qa", "nrm AS na"), Seq("vec_id"))
           .join(broadcast(qq.selectExpr("vec_id AS neighbor_id", "qv AS qb", "nrm AS nb")), Seq("neighbor_id"))
-          .selectExpr("vec_id", "neighbor_id",
-            "aggregate(transform(sequence(1, 64), i -> element_at(qa, i)*element_at(qb, i)), 0L, (acc, v) -> acc + v) AS dot",
-            "na", "nb")
+          .withColumn("dot", GraftFunctions.dot_i64(col("qa"), col("qb")))
           .selectExpr("vec_id", "neighbor_id",
             "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS c")
         scored
