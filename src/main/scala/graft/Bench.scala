@@ -77,6 +77,10 @@ object Bench {
 
     // ---- phase 1: query suite at `cpus` ------------------------------
     var spark = session(cpus)
+    // untimed warmup: JIT the SQL/codegen/parquet stack so the first
+    // timed query doesn't carry interpreter cost
+    try SparkEntry.queries("q01_pricing_agg")(spark, sfDir).count()
+    catch { case _: Throwable => }
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = timeSec {
         try fn(spark, sfDir).count()
@@ -102,22 +106,54 @@ object Bench {
     val listener = new TaskTimeListener
     spark.sparkContext.addSparkListener(listener)
     var okHi = 0L
-    val tHiAtCpus = timeSec { okHi = extractLeg(spark, pagesPath, 0) }
+    // median-of-5 (same discipline as the scaling legs; this VM's
+    // deliverable cycles fluctuate run to run)
+    val headlineTimes = (1 to 5).map { _ =>
+      listener.clear()
+      timeSec { okHi = extractLeg(spark, pagesPath, 0) }
+    }.sorted
+    val tHiAtCpus = headlineTimes(headlineTimes.length / 2)
     Thread.sleep(500) // let the listener bus drain
     val (medianTaskMs, maxTaskMs) = listener.skew
     spark.stop()
 
-    // scaling legs: identical input + plan, two parallelism levels,
-    // best-of-2 per level (same discipline for both, so noise can't
-    // flatter the ratio)
+    // scaling legs: identical input + plan, two parallelism levels, each
+    // leg its OWN JVM pinned to exactly N cores with taskset (GC + JIT
+    // included — an in-process local[N] leg lets the JVM's 32 GC threads
+    // run free on idle cores and flatters small N). Median-of-5 per level,
+    // same discipline for both, so host noise can't tilt the ratio.
     def leg(c: Int): Double = {
-      val s = session(c)
-      extractLeg(s, warmPath, c) // session warm
-      val t = math.min(
-        timeSec { extractLeg(s, pagesPath, 0) },
-        timeSec { extractLeg(s, pagesPath, 0) })
-      s.stop()
-      t
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      // same JPMS opens as build.sbt (Spark 4 on JDK 17 outside spark-submit)
+      val jvmOpts = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq("taskset", "-c", s"0-${c - 1}", javaBin) ++ jvmOpts ++ Seq(
+        "-Xmx6g", "-cp", System.getProperty("java.class.path"),
+        "graft.BenchLeg", pagesPath, warmPath, c.toString, "5")
+      val out = new StringBuilder
+      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+      val rdr = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = rdr.readLine()
+      while (line != null) { out.append(line).append('\n'); line = rdr.readLine() }
+      proc.waitFor()
+      "LEG_SEC=([0-9.]+)".r.findFirstMatchIn(out.toString)
+        .map(_.group(1).toDouble)
+        .getOrElse {
+          // fallback: in-process leg (taskset unavailable)
+          val s = session(c)
+          extractLeg(s, warmPath, c)
+          val t = (1 to 3).map(_ => timeSec { extractLeg(s, pagesPath, 0) }).min
+          s.stop()
+          t
+        }
     }
     val tLo = leg(cpusLo)
     val cpusHi = cpusLo * 4

