@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Turn near-duplicate PAIRS (from LSH/SimHash/embedding passes) into
+  * duplicate GROUPS: connected components by iterative min-label
+  * propagation, the standard large-graph approach when components are
+  * shallow (duplicate clusters are tiny — a handful of crawls of the same
+  * page — so a few hops converge; each hop is one self-join + groupBy on
+  * (id, label), all shuffle-partitioned by id).
+  *
+  * Returns (id, rep) where rep = the component's minimum id — the row to
+  * KEEP; everything else in the group is the drop set.
+  */
+object DedupGroups {
+
+  /** @param pairs two columns, (id_a, id_b), undirected edges
+    * @param maxIters hop bound (duplicate clusters are shallow; 10 covers
+    *                 chains of length 2^10)
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.toDF("a", "b")
+      .union(pairs.toDF("b", "a").select(col("a"), col("b")))
+      .distinct()
+      .persist()
+    // label(v) starts as v's own id
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each vertex takes min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("nbr"), col("rep").as("nrep")),
+          col("b") === col("nbr"))
+        .groupBy(col("a").as("id"))
+        .agg(min("nrep").as("nbrMin"))
+      // eager localCheckpoint truncates the logical plan each iteration —
+      // without it the self-joins double the plan tree per hop and the
+      // analyzer stack-overflows around iteration 10
+      val hop = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nbrMin"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      // pointer jump (path halving): rep <- label(rep), contracting chains
+      // geometrically so convergence is O(log diameter), not O(diameter)
+      val next = hop
+        .join(hop.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
+        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
+        .filter(col("rep") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Group summary: representative, member count, members. */
+  def groups(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy("rep")
+      .agg(count(lit(1)).as("n_members"), sort_array(collect_list("id")).as("members"))
+}

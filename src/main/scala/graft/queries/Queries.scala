@@ -676,8 +676,98 @@ object Queries {
     },
     None)
 
+  /** Near-dup PAIRS -> duplicate GROUPS: connected components over the
+    * q15 edge set (iterative min-label propagation — see
+    * graft.pipeline.DedupGroups). The keep/drop decision of a dedup
+    * pipeline is per-group, not per-pair. Not SQL-expressible without
+    * recursion -> rows-only check; the grouping law is pinned in
+    * DedupGroupsSpec. */
+  private val q25 = Q(
+    "q25_dedup_groups",
+    (s, dir) => {
+      val pairs = q15.fn(s, dir).select("id_a", "id_b")
+      graft.pipeline.DedupGroups.groups(pairs)
+        .selectExpr("rep", "n_members", "members")
+    },
+    None)
+
+  /** Embedding-cosine near-dup detection: the corpus is augmented with
+    * perturbed copies (first quantized coordinate +10, vec_id+100000) so
+    * true near-dups exist; SRP buckets propose candidates (as q24), exact
+    * quantized cosine >= 0.995 confirms. */
+  private val q26 = {
+    def weights(p: Int): Seq[Long] = (1 to 64).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_$p".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) 1L else -1L
+    }
+    def sBit(p: Int) =
+      s"(CASE WHEN dot_i64(qv, array(${weights(p).map(_ + "L").mkString(", ")})) >= 0 THEN '1' ELSE '0' END)"
+    def dBit(p: Int) =
+      "(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> qv[i] * " +
+        s"(CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_$p'), 1, 1) < '8' THEN 1 ELSE -1 END))) " +
+        ">= 0 THEN '1' ELSE '0' END)"
+    val nTables = 8
+    def sTable(t: Int) = (4 * t until 4 * t + 4).map(sBit).mkString("concat(", ", ", ")")
+    def dTable(t: Int) = (4 * t until 4 * t + 4).map(dBit).mkString(" || ")
+    val sTabs = (0 until nTables).map(t => s"${sTable(t)} AS b$t")
+    val dTabs = (0 until nTables).map(t => s"${dTable(t)} AS b$t").mkString(", ")
+    val sStack = (0 until nTables).map(t => s"$t, b$t").mkString(s"stack($nTables, ", ", ", ") AS (tbl, bucket)")
+    val dUnion = (0 until nTables).map(t => s"SELECT id, $t AS tbl, b$t AS bucket FROM qq").mkString(" UNION ALL ")
+    val perturbSpark =
+      "transform(sequence(1, 64), i -> CASE WHEN i = 1 THEN element_at(qv, i) + 10L ELSE element_at(qv, i) END)"
+    val perturbDuck =
+      "list_transform(generate_series(1, 64), i -> CASE WHEN i = 1 THEN qv[i] + 10 ELSE qv[i] END)"
+    Q(
+      "q26_embed_near_dup",
+      (s, dir) => {
+        GraftFunctions.registerAll(s)
+        val base = t(s, dir, "embeddings")
+          .selectExpr(
+            "vec_id AS id",
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv")
+        val aug = base.unionByName(
+          base.selectExpr("id + 100000 AS id", s"$perturbSpark AS qv"))
+        val qq = aug
+          .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
+          .selectExpr(Seq("id", "qv", "nrm") ++ sTabs: _*)
+        val sigs = qq.selectExpr("id", sStack)
+        val cand = sigs.selectExpr("id AS id_a", "tbl", "bucket")
+          .join(sigs.selectExpr("id AS id_b", "tbl AS tbl2", "bucket AS bucket2"),
+            expr("tbl = tbl2 AND bucket = bucket2 AND id_a < id_b"))
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(qq.selectExpr("id AS id_a", "qv AS qa", "nrm AS na"), Seq("id_a"))
+          .join(qq.selectExpr("id AS id_b", "qv AS qb", "nrm AS nb"), Seq("id_b"))
+          .withColumn("dot", GraftFunctions.dot_i64(col("qa"), col("qb")))
+          .selectExpr("id_a", "id_b",
+            "CAST(FLOOR(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6")
+          .filter("cos_e6 >= 995000")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS id,
+          list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+        aug AS (SELECT id, qv FROM q
+                UNION ALL SELECT id + 100000 AS id, $perturbDuck AS qv FROM q),
+        qq AS (SELECT id, qv,
+          CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS nrm,
+          $dTabs FROM aug),
+        sigs AS ($dUnion),
+        cand AS (SELECT DISTINCT s1.id AS id_a, s2.id AS id_b
+          FROM sigs s1 JOIN sigs s2
+            ON s1.tbl = s2.tbl AND s1.bucket = s2.bucket AND s1.id < s2.id),
+        scored AS (SELECT c.id_a, c.id_b,
+            CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot,
+            a.nrm AS na, b.nrm AS nb
+          FROM cand c JOIN qq a ON a.id = c.id_a JOIN qq b ON b.id = c.id_b)
+        SELECT id_a, id_b,
+          CAST(FLOOR(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
+        FROM scored
+        WHERE CAST(FLOOR(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) >= 995000"""))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24)
+    q21, q22, q23, q24, q25, q26)
 }
