@@ -50,14 +50,29 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfText.extractText(bytes) == lines.mkString("\n"))
   }
 
-  test("reference fixture PDF parses without crashing (stretch goal)") {
+  test("reference fixture PDF: full real-world extraction (stretch goal)") {
     val f = new java.io.File("/root/reference/tests/test_dirs/test_pdf_1.pdf")
     if (f.exists()) {
       val bytes = java.nio.file.Files.readAllBytes(f.toPath)
       val doc = new PdfDoc(bytes)
-      assert(doc.pages.nonEmpty)
+      // a real 169 KB Adobe InDesign + iText journal article
+      assert(doc.pages.length == 6)
+      assert(doc.metadata.get("Title")
+        .contains("Implicit Bias Is Behavior: A Functional-Cognitive Perspective on Implicit Bias"))
+      assert(doc.metadata.get("Author").contains("Jan De Houwer"))
       val text = PdfText.extractText(bytes)
-      assert(text.length > 100) // real extraction, pinned loosely
+      assert(text.length > 40000, s"only ${text.length} chars extracted")
+      // body phrases survive word assembly (FlateDecode streams, embedded
+      // subset fonts, multi-column layout)
+      assert(text.toLowerCase.contains("implicit bias"), "body text missing")
+      // the DOI cascade finds the article's DOI from the text. On this
+      // real PDF our glyph-width approximation merges the header run
+      // "…855638De Houwer" where pdfplumber splits it, so the greedy
+      // suffix picks up two extra chars — prefix-pinned here; exact
+      // byte-identity is pinned on the synthetic corpus where the writer
+      // is ours (CorpusExtractionSpec).
+      val id = graft.ids.DoiCascade(doc.metadata, text)
+      assert(id.exists(_.identifier.startsWith("10.1177/1745691619855638")), s"got $id")
     }
   }
 }
