@@ -766,8 +766,29 @@ object Queries {
         WHERE CAST(FLOOR(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) >= 995000"""))
   }
 
+  /** Rolling-hash (Karp-Rabin) winnowing fingerprints (MOSS algorithm —
+    * graft.textops.Winnowing): the constant-density fingerprint table a
+    * clone/near-dup search joins on. Output is the exploded (doc_id, fp)
+    * posting table plus per-doc counts; pure typed map (the rolling pass
+    * is imperative O(n)) -> rows-only check, laws pinned in
+    * WinnowingSpec. */
+  private val q27 = Q(
+    "q27_winnow_fingerprints",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, graft.textops.Winnowing.fingerprintSet(text).toSeq.sorted)
+        })
+        .toDF("doc_id", "fps")
+        .selectExpr("doc_id", "CAST(size(fps) AS BIGINT) AS n_fps",
+          "explode(fps) AS fp")
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26)
+    q21, q22, q23, q24, q25, q26, q27)
 }
