@@ -102,6 +102,27 @@ object CorpusGen {
   private def paragraph(rng: Rng): String =
     (0 until 2 + rng.nextInt(3)).map(_ => sentence(rng, 8 + rng.nextInt(12))).mkString(" ")
 
+  /** (plain, html) paragraph pair: the html variant may wrap words in
+    * inline tags and encode an ampersand word as an entity — the golden
+    * stays the PLAIN text, so byte-identity covers the extractor's
+    * inline-flattening and entity-decoding paths. */
+  private def decoratedParagraph(rng: Rng): (String, String) = {
+    val plain0 = paragraph(rng)
+    val words = plain0.split(" ")
+    val deco = rng.nextInt(4)
+    if (deco == 0 && words.length > 3) {
+      val i = 1 + rng.nextInt(words.length - 2)
+      val tag = if (rng.nextInt(2) == 0) "em" else "strong"
+      val html = (words.take(i) :+ s"<$tag>${words(i)}</$tag>") ++ words.drop(i + 1)
+      (plain0, html.mkString(" "))
+    } else if (deco == 1 && words.length > 4) {
+      val i = 1 + rng.nextInt(words.length - 3)
+      val plainWords = (words.take(i) :+ "&") ++ words.drop(i)
+      val htmlWords = (words.take(i) :+ "&amp;") ++ words.drop(i)
+      (plainWords.mkString(" "), htmlWords.mkString(" "))
+    } else (plain0, plain0)
+  }
+
   def titleFor(docId: Long, rng: Rng): String =
     s"Study $docId of ${rng.pick(TargetWords)} and ${rng.pick(NeutralWords)}"
 
@@ -116,7 +137,8 @@ object CorpusGen {
     val (abstractText, tHits, bHits, totalW) = genAbstract(rng)
     val title = titleFor(docId, rng)
     val doi = doiFor(docId)
-    val paragraphs = (0 until 2 + rng.nextInt(4)).map(_ => paragraph(rng))
+    val paragraphPairs = (0 until 2 + rng.nextInt(4)).map(_ => decoratedParagraph(rng))
+    val paragraphs = paragraphPairs.map(_._1)
     val u = url(docId)
     val ts = new java.sql.Timestamp(Epoch + docId * 1000L)
 
@@ -143,7 +165,8 @@ object CorpusGen {
     } else {
       val citations = (0 until rng.nextInt(4)).map(i =>
         s"Author ${('A' + rng.nextInt(26)).toChar}. (${2000 + rng.nextInt(25)}). Cited work $i.")
-      val htmlStr = renderHtml(docId, title, abstractText, doi, paragraphs, citations, rng)
+      val htmlStr = renderHtml(docId, title, abstractText, doi,
+        paragraphPairs.map(_._2), citations, rng)
       val golden = Golden(
         url = u,
         // main container holds the abstract block (heading + body) then the
