@@ -87,3 +87,78 @@ object StreamingExtract {
       .withWatermark("warc_ts", "1 hour")
       .dropDuplicates("url")
 }
+
+/** Custom streaming state via flatMapGroupsWithState: a per-domain crawl
+  * monitor. Each micro-batch updates one state record per domain (docs
+  * seen, bytes, first/last warc_ts) and emits the updated snapshot — the
+  * state-store-backed analog of a per-host crawl ledger. Event-time
+  * timeout evicts domains idle past the watermark, so state stays
+  * bounded by ACTIVE domains, not all domains ever seen.
+  */
+object DomainState {
+
+  final case class DomainAgg(
+      domain: String,
+      n_docs: Long,
+      n_bytes: Long,
+      first_ts: Long,
+      last_ts: Long)
+
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.{Dataset, DataFrame}
+  import graft.model.PageRecord
+
+  def domainOf(url: String): String = {
+    val noScheme = url.indexOf("://") match {
+      case -1 => url
+      case i  => url.substring(i + 3)
+    }
+    noScheme.takeWhile(c => c != '/' && c != ':' && c != '?')
+  }
+
+  private def update(
+      domain: String,
+      rows: Iterator[(String, Long, java.sql.Timestamp)],
+      state: GroupState[DomainAgg]): Iterator[DomainAgg] = {
+    if (state.hasTimedOut) {
+      val last = state.get
+      state.remove()
+      Iterator.single(last) // final snapshot on eviction
+    } else {
+      var agg = state.getOption.getOrElse(
+        DomainAgg(domain, 0L, 0L, Long.MaxValue, Long.MinValue))
+      rows.foreach { case (_, bytes, ts) =>
+        agg = agg.copy(
+          n_docs = agg.n_docs + 1,
+          n_bytes = agg.n_bytes + bytes,
+          first_ts = math.min(agg.first_ts, ts.getTime),
+          last_ts = math.max(agg.last_ts, ts.getTime))
+      }
+      state.update(agg)
+      state.setTimeoutTimestamp(agg.last_ts, "1 hour")
+      Iterator.single(agg)
+    }
+  }
+
+  /** Streaming per-domain ledger over the pages stream. The watermarked
+    * timestamp COLUMN must survive into the grouped Dataset (a typed map
+    * to a bare tuple would drop the event-time metadata and event-time
+    * timeout fails analysis), so the projection is columnar and the
+    * watermark is applied after it. */
+  def crawlLedger(pages: Dataset[PageRecord]): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.toDF()
+      .select(
+        expr("parse_url(url, 'HOST')").as("domain"),
+        expr("CAST(coalesce(length(html), 0) AS LONG)").as("n_bytes"),
+        col("warc_ts"))
+      .withWatermark("warc_ts", "1 hour")
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(update)
+      .toDF()
+  }
+}

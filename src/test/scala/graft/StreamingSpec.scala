@@ -73,6 +73,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count() >= wantClosed.count())
   }
 
+  test("flatMapGroupsWithState crawl ledger aggregates per domain") {
+    val in = s"$tmp/ledger_in"
+    ExtractPipeline.pages(spark, 200, 4).write.parquet(in)
+    val ledger = graft.streaming.DomainState.crawlLedger(
+      StreamingExtract.pagesStream(spark, in))
+    val q = ledger.writeStream.format("memory").queryName("ledger_t")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ledger_t")
+      .groupBy("domain")
+      .agg(max("n_docs").as("n_docs"), max("n_bytes").as("n_bytes"))
+    val byDomain = got.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the hot domain holds 30% of docIds (CorpusGen skew fixture)
+    assert(byDomain("d0.example.org") == 60L, s"hot: ${byDomain.get("d0.example.org")}")
+    assert(byDomain.values.sum == 200L)
+    // bytes tracked
+    assert(got.agg(sum("n_bytes")).head().getLong(0) > 0)
+  }
+
   test("stateful streaming dedup suppresses re-crawled urls in-batch") {
     val in = s"$tmp/dup_in"
     val p = ExtractPipeline.pages(spark, 50, 2)
