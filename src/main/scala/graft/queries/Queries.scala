@@ -787,8 +787,27 @@ object Queries {
     },
     None)
 
+  /** Corpus-wide term frequency top-k: Generate (explode) -> two-phase
+    * hash aggregate -> global TakeOrderedAndProject. At 100 TB the
+    * map-side partial agg collapses the exploded token stream before the
+    * shuffle, and top-k never materializes a full global sort. */
+  private val q28 = Q(
+    "q28_top_terms",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .selectExpr(s"explode($SparkToks) AS term")
+        .groupBy("term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(50),
+    Some(s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest($DuckToks) AS term FROM documents)
+      GROUP BY term
+      ORDER BY n DESC, term
+      LIMIT 50"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27)
+    q21, q22, q23, q24, q25, q26, q27, q28)
 }
