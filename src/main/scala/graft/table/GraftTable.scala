@@ -28,7 +28,10 @@ object GraftTable {
       skipped: Int,
       processed: Int,
       docs: Long,
-      wallMs: Long)
+      wallMs: Long,
+      docsOk: Long = 0L,
+      docsErr: Long = 0L,
+      bytesIn: Long = 0L)
 
   def bucketOf(urlCol: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(urlCol), lit(nBuckets)).cast("int")
@@ -76,6 +79,12 @@ object GraftTable {
 
     val bcTarget = spark.sparkContext.broadcast(targetWords)
     val bcBycatch = spark.sparkContext.broadcast(bycatchWords)
+    // live progress counters (the tqdm analog, SURVEY.md §2.8): updated by
+    // executors as tasks run, readable on the driver mid-job — lineage
+    // rows remain the durable record
+    val okAcc = spark.sparkContext.longAccumulator("graft.docs_ok")
+    val errAcc = spark.sparkContext.longAccumulator("graft.docs_err")
+    val bytesAcc = spark.sparkContext.longAccumulator("graft.bytes_in")
 
     var processed = 0
     var totalDocs = 0L
@@ -97,6 +106,8 @@ object GraftTable {
           it.map { r =>
             val s = Extractor.score(
               Extractor.extract(PageRecord(r.url, r.warc_ts, r.html, r.text, r.lang)), t, b)
+            if (s.ok) okAcc.add(1) else errAcc.add(1)
+            bytesAcc.add(s.n_bytes)
             ScoredDocWithBucket(r.bucket, s)
           }
         }
@@ -141,7 +152,8 @@ object GraftTable {
     }
 
     RunReport(nBuckets, done.size, processed, totalDocs,
-      System.currentTimeMillis() - t0)
+      System.currentTimeMillis() - t0,
+      docsOk = okAcc.value, docsErr = errAcc.value, bytesIn = bytesAcc.value)
   }
 
   private def writeSnapshot(

@@ -108,6 +108,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       bucketsPerWave = 2, target, bycatch, tasksPerWave = 4, attempt = 2)
     assert(report.skipped == 2)
     assert(report.processed == 6)
+    // live accumulator counters agree with the durable lineage
+    assert(report.docsOk == report.docs, s"acc ${report.docsOk} vs ${report.docs}")
+    assert(report.docsErr == 0)
+    assert(report.bytesIn > 0)
 
     val data = spark.read.parquet(s"$root/data")
     assert(data.count() == 200)
