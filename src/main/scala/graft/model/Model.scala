@@ -53,6 +53,34 @@ final case class ScoredDoc(
     ok: Boolean,
     error: String)
 
+/** Download receipt (reference DownloadReceipt,
+  * /root/reference/src/downloaders.py:32-52). In the offline graft the
+  * payload BYTES live in a binary column of the output table (SURVEY.md
+  * §2.1 row 12 choice) — filepath names the would-be export file,
+  * deterministic (xxhash replaces the reference's randint, §2.7 row 47). */
+final case class DownloadReceipt(
+    downloader: String,
+    url: String,
+    success: Boolean,
+    filepath: String,
+    n_bytes: Long)
+
+/** Enrichment output row (reference WebScrapeResult,
+  * /root/reference/src/webscrapers.py:27-42). */
+final case class WebScrapeResult(
+    title: String,
+    pub_date: String,
+    doi: String,
+    internal_id: String,
+    journal_title: String,
+    times_cited: Int,
+    author_list: Seq[String],
+    citations: Seq[String],
+    keywords: Seq[String],
+    figures: Seq[String],
+    biblio: String,
+    abstract_text: String)
+
 /** Per-partition lineage row (north rule: per-partition lineage +
   * metrics; SURVEY.md §4.4). */
 final case class LineageRow(

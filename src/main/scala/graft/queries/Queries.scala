@@ -806,8 +806,18 @@ object Queries {
       ORDER BY n DESC, term
       LIMIT 50"""))
 
+  /** Download-mode analog: per-page receipts with deterministic dated
+    * filepaths; payload bytes stay a column (SURVEY.md §2.1 row 12). */
+  private val q29 = Q(
+    "q29_download_receipts",
+    (s, _) =>
+      graft.pipeline.Downloads.receipts(
+          ExtractPipeline.pages(s, 400), java.time.LocalDate.of(2026, 8, 16))
+        .selectExpr("downloader", "url", "success", "filepath", "n_bytes"),
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29)
 }
