@@ -113,7 +113,7 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("q03/q04/q16 use broadcast hash joins for small sides") {
-    Seq("q03_join_revenue", "q04_dim_bcast", "q16_ann_topk").foreach { name =>
+    Seq("q03_join_revenue", "q04_dim_bcast", "q16_ann_topk", "q24_ann_lsh").foreach { name =>
       val plan = executedPlanString(run(name))
       assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
         s"$name has no broadcast join:\n${plan.take(1500)}")
