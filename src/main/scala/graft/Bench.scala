@@ -137,14 +137,20 @@ object Bench {
       val cmd = Seq("taskset", "-c", s"0-${c - 1}", javaBin) ++ jvmOpts ++ Seq(
         "-Xmx6g", "-cp", System.getProperty("java.class.path"),
         "graft.BenchLeg", pagesPath, warmPath, c.toString, "5")
-      val out = new StringBuilder
-      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
-      val rdr = new java.io.BufferedReader(
-        new java.io.InputStreamReader(proc.getInputStream))
-      var line = rdr.readLine()
-      while (line != null) { out.append(line).append('\n'); line = rdr.readLine() }
-      proc.waitFor()
-      "LEG_SEC=([0-9.]+)".r.findFirstMatchIn(out.toString)
+      // merge stderr into stdout: an un-drained stderr pipe (Spark ERROR
+      // logs, OOM traces) would deadlock the child at ~64KB; scala.util.Try
+      // makes the fallback reachable when the taskset binary is absent
+      val legOut = scala.util.Try {
+        val out = new StringBuilder
+        val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val rdr = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var line = rdr.readLine()
+        while (line != null) { out.append(line).append('\n'); line = rdr.readLine() }
+        proc.waitFor()
+        out.toString
+      }.getOrElse("")
+      "LEG_SEC=([0-9.]+)".r.findFirstMatchIn(legOut)
         .map(_.group(1).toDouble)
         .getOrElse {
           // fallback: in-process leg (taskset unavailable)

@@ -37,7 +37,7 @@ object BenchLeg {
       (System.nanoTime() - t0) / 1e9
     }.sorted
     val median = times(times.length / 2)
-    println(f"LEG_SEC=$median%.3f")
+    println("LEG_SEC=" + "%.3f".formatLocal(java.util.Locale.ROOT, median))
     spark.stop()
   }
 }

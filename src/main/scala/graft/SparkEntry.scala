@@ -11,7 +11,8 @@ object SparkEntry {
     * Common-Crawl-style corpus. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     ExtractPipeline.extractAndScore(
-      ExtractPipeline.pages(spark, 600), numPartitions = 32,
+      ExtractPipeline.pages(spark, 600), numPartitions = 0, // scan-split parallelism
+
       CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet)
       .toDF()
       .selectExpr("url", "kind", "title", "doi", "matching_terms",

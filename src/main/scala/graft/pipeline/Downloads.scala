@@ -23,9 +23,19 @@ object Downloads {
   def cleanLink(rawOnclick: String, baseUrl: String): String =
     graft.ids.LinkCleaner.formatDownloadLink(rawOnclick, baseUrl).getOrElse("")
 
+  /** 64-bit FNV-1a — collision-safe at corpus scale (a 32-bit hash
+    * collides with ~50% probability already at ~77k urls). */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** Receipt per page. Deterministic filepath: dated prefix (reference
-    * naming, fetch.py:258-263) + xxhash of the url (replaces the
-    * reference's randint — incidental nondeterminism, §2.7 row 47). */
+    * naming, fetch.py:258-263) + 64-bit content-independent url hash
+    * (replaces the reference's randint — incidental nondeterminism,
+    * §2.7 row 47). */
   def receipts(pages: Dataset[PageRecord], today: java.time.LocalDate): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
@@ -37,8 +47,7 @@ object Downloads {
         downloader = "graft.BulkDownloader",
         url = p.url,
         success = ok,
-        filepath = s"$prefix/${java.lang.Long.toUnsignedString(
-          scala.util.hashing.MurmurHash3.stringHash(p.url).toLong & 0xffffffffL)}.$kind",
+        filepath = s"$prefix/${java.lang.Long.toUnsignedString(fnv1a64(p.url))}.$kind",
         n_bytes = if (ok) p.html.length.toLong else 0L)
     }.toDF()
   }

@@ -27,7 +27,7 @@ object Enrichment {
       .flatMap { id =>
         CorpusGen.doiFor(id).map { doi =>
           (doi,
-            (scala.util.hashing.MurmurHash3.stringHash(doi).abs % 500).toLong,
+            math.floorMod(scala.util.hashing.MurmurHash3.stringHash(doi), 500).toLong,
             s"Journal of d${CorpusGen.domainId(id)} Studies",
             s"pub.$id")
         }

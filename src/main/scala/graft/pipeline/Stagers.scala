@@ -15,8 +15,10 @@ object Stagers {
     * a per-column job. At scale: one shuffle-free pass over the data. */
   def dropAllEmptyColumns(df: DataFrame): DataFrame = {
     if (df.columns.isEmpty) return df
+    // exact-empty only: the reference maps only "" to NaN
+    // (replace("", NaN)), so whitespace-only values KEEP their column
     val counts = df.select(df.columns.map(c =>
-      sum(when(col(c).isNotNull && trim(col(c).cast("string")) =!= "", 1L)
+      sum(when(col(c).isNotNull && col(c).cast("string") =!= "", 1L)
         .otherwise(0L)).as(c)): _*).head()
     val keep = df.columns.zipWithIndex
       .filter { case (_, i) => !counts.isNullAt(i) && counts.getLong(i) > 0 }

@@ -53,6 +53,47 @@ object Queries {
   private val ScoreExpr =
     "CAST(FLOOR(LEAST(1.0, GREATEST(0.0, (m*1.0 + b*(-0.25) + (t-m-b)*0.5) / t))*10000.0 + 0.5) AS BIGINT)"
 
+
+  /** Shared SRP-LSH construction (q24 ANN + q26 embedding near-dup):
+    * 32 deterministic md5-derived hyperplane sign bits in 8 four-bit
+    * tables. Spark side folds the data-independent weights to driver
+    * constants and dots with the native DotI64; the oracle keeps the md5
+    * derivation as the constant's spec. */
+  private object SrpLsh {
+    val nTables = 8
+    def weights(p: Int): Seq[Long] = (1 to 64).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_$p".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) 1L else -1L
+    }
+    def sBit(p: Int) =
+      s"(CASE WHEN dot_i64(qv, array(${weights(p).map(_ + "L").mkString(", ")})) >= 0 THEN '1' ELSE '0' END)"
+    def dBit(p: Int) =
+      "(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> qv[i] * " +
+        s"(CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_$p'), 1, 1) < '8' THEN 1 ELSE -1 END))) " +
+        ">= 0 THEN '1' ELSE '0' END)"
+    def sTable(t: Int) = (4 * t until 4 * t + 4).map(sBit).mkString("concat(", ", ", ")")
+    def dTable(t: Int) = (4 * t until 4 * t + 4).map(dBit).mkString(" || ")
+    val sTabs: Seq[String] = (0 until nTables).map(t => s"${sTable(t)} AS b$t")
+    val dTabs: String = (0 until nTables).map(t => s"${dTable(t)} AS b$t").mkString(", ")
+    val sStack: String =
+      (0 until nTables).map(t => s"$t, b$t").mkString(s"stack($nTables, ", ", ", ") AS (tbl, bucket)")
+    def dUnion(idCol: String): String =
+      (0 until nTables).map(t => s"SELECT $idCol, $t AS tbl, b$t AS bucket FROM qq").mkString(" UNION ALL ")
+  }
+
+  /** Bounded cache for q15's signature table: re-invocations (q15 itself,
+    * q25 building on it, repeated bench sweeps) unpersist the previous
+    * entry so at most ONE cached copy lives in the session. */
+  private object Q15Cache {
+    private var last: Option[DataFrame] = None
+    def swap(df: DataFrame): DataFrame = synchronized {
+      last.foreach(d => scala.util.Try(d.unpersist(false)))
+      last = Some(df)
+      df
+    }
+  }
+
   // =====================================================================
   // Relational core (scan/filter/join/agg/window) — SURVEY.md §2.1–2.5
   // =====================================================================
@@ -373,10 +414,11 @@ object Queries {
         // of the jaccard join — persist it once instead of recomputing the
         // scan+tokenize+md5 three times (at scale: a materialized
         // signature table)
-        val aug = base.unionByName(
-            base.selectExpr("id + 1000000 AS id", "slice(toks, 2, size(toks)) AS toks"))
-          .selectExpr("id", s"$sparkShingles AS sh")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val aug = Q15Cache.swap(
+          base.unionByName(
+              base.selectExpr("id + 1000000 AS id", "slice(toks, 2, size(toks)) AS toks"))
+            .selectExpr("id", s"$sparkShingles AS sh")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // two md5s per shingle -> 64 hex chars -> eight independent 32-bit
         // lanes; band bucket = per-lane minimum (8x less hashing than
         // hash-per-band over every shingle)
@@ -551,30 +593,8 @@ object Queries {
     * of exact top-1 neighbors from ~24% of the pairs; real embedding
     * corpora cluster far more strongly and recall rises accordingly. */
   private val q24 = {
-    // shared hyperplane sign: w(i, p) = +1 iff first hex nibble of
-    // md5("i_p") < '8' (balanced +-1, identical in both engines)
-    // Spark side: the hyperplane weights are DATA-INDEPENDENT constants —
-    // fold them on the driver (10M per-row md5 calls otherwise) and dot
-    // with the native expression; the oracle keeps the md5 derivation as
-    // the constant's spec, and both sides agree bit-for-bit.
-    def weights(p: Int): Seq[Long] = (1 to 64).map { i =>
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${i}_$p".getBytes("UTF-8"))
-      if (((d(0) >> 4) & 0xf) < 8) 1L else -1L
-    }
-    def sBit(p: Int) =
-      s"(CASE WHEN dot_i64(qv, array(${weights(p).map(_ + "L").mkString(", ")})) >= 0 THEN '1' ELSE '0' END)"
-    def dBit(p: Int) =
-      "(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> qv[i] * " +
-        s"(CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_$p'), 1, 1) < '8' THEN 1 ELSE -1 END))) " +
-        ">= 0 THEN '1' ELSE '0' END)"
-    val nTables = 8
-    def sTable(t: Int) = (4 * t until 4 * t + 4).map(sBit).mkString("concat(", ", ", ")")
-    def dTable(t: Int) = (4 * t until 4 * t + 4).map(dBit).mkString(" || ")
-    val sTabs = (0 until nTables).map(t => s"${sTable(t)} AS b$t")
-    val dTabs = (0 until nTables).map(t => s"${dTable(t)} AS b$t").mkString(", ")
-    val sStack = (0 until nTables).map(t => s"$t, b$t").mkString(s"stack($nTables, ", ", ", ") AS (tbl, bucket)")
-    val dUnion = (0 until nTables).map(t => s"SELECT vec_id, $t AS tbl, b$t AS bucket FROM qq").mkString(" UNION ALL ")
+    import SrpLsh.{sTabs, dTabs, sStack}
+    val dUnion = SrpLsh.dUnion("vec_id")
     Q(
       "q24_ann_lsh",
       (s, dir) => {
@@ -696,24 +716,8 @@ object Queries {
     * true near-dups exist; SRP buckets propose candidates (as q24), exact
     * quantized cosine >= 0.995 confirms. */
   private val q26 = {
-    def weights(p: Int): Seq[Long] = (1 to 64).map { i =>
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${i}_$p".getBytes("UTF-8"))
-      if (((d(0) >> 4) & 0xf) < 8) 1L else -1L
-    }
-    def sBit(p: Int) =
-      s"(CASE WHEN dot_i64(qv, array(${weights(p).map(_ + "L").mkString(", ")})) >= 0 THEN '1' ELSE '0' END)"
-    def dBit(p: Int) =
-      "(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> qv[i] * " +
-        s"(CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_$p'), 1, 1) < '8' THEN 1 ELSE -1 END))) " +
-        ">= 0 THEN '1' ELSE '0' END)"
-    val nTables = 8
-    def sTable(t: Int) = (4 * t until 4 * t + 4).map(sBit).mkString("concat(", ", ", ")")
-    def dTable(t: Int) = (4 * t until 4 * t + 4).map(dBit).mkString(" || ")
-    val sTabs = (0 until nTables).map(t => s"${sTable(t)} AS b$t")
-    val dTabs = (0 until nTables).map(t => s"${dTable(t)} AS b$t").mkString(", ")
-    val sStack = (0 until nTables).map(t => s"$t, b$t").mkString(s"stack($nTables, ", ", ", ") AS (tbl, bucket)")
-    val dUnion = (0 until nTables).map(t => s"SELECT id, $t AS tbl, b$t AS bucket FROM qq").mkString(" UNION ALL ")
+    import SrpLsh.{sTabs, dTabs, sStack}
+    val dUnion = SrpLsh.dUnion("id")
     val perturbSpark =
       "transform(sequence(1, 64), i -> CASE WHEN i = 1 THEN element_at(qv, i) + 10L ELSE element_at(qv, i) END)"
     val perturbDuck =

@@ -81,11 +81,14 @@ object StreamingExtract {
 
   /** Stateful streaming dedup on url within the watermark horizon —
     * exact-dup suppression at ingest time (state-store backed; the batch
-    * analogs are q13/q15). */
+    * analogs are q13/q15). dropDuplicatesWithinWatermark is required for
+    * bounded state: plain dropDuplicates("url") never evicts because the
+    * event-time column is not part of the key, so state would grow with
+    * every url ever seen. */
   def dedupStream(pages: Dataset[PageRecord]): Dataset[PageRecord] =
     pages
       .withWatermark("warc_ts", "1 hour")
-      .dropDuplicates("url")
+      .dropDuplicatesWithinWatermark("url")
 }
 
 /** Custom streaming state via flatMapGroupsWithState: a per-domain crawl
