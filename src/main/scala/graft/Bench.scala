@@ -68,11 +68,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "160000").toLong
-    // N -> 4N parallelism pair for the scaling criterion. 4 -> 16 cores:
-    // this VM advertises 32 CPUs but pure-thread microbenchmarks saturate
-    // at ~16 threads (host cycle cap — see BASELINE.md), so 8 -> 32 would
-    // measure the hypervisor, not the engine.
-    val cpusLo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "4").toInt
+    // N -> 4N parallelism pair for the scaling criterion. 2 -> 8 cores:
+    // this VM advertises 32 CPUs but delivers fewer cycles per core the
+    // more cores are busy (pinned ladders in BASELINE.md) — wide legs
+    // measure the hypervisor, not the engine, so the pair sits where
+    // per-core delivery is flat at BOTH levels.
+    val cpusLo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "2").toInt
     val warmDocs = 4000L
 
     // ---- phase 1: query suite at `cpus` ------------------------------
@@ -136,7 +137,7 @@ object Bench {
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
       val cmd = Seq("taskset", "-c", s"0-${c - 1}", javaBin) ++ jvmOpts ++ Seq(
         "-Xmx6g", "-cp", System.getProperty("java.class.path"),
-        "graft.BenchLeg", pagesPath, warmPath, c.toString, "5")
+        "graft.BenchLeg", pagesPath, warmPath, c.toString, "1")
       // merge stderr into stdout: an un-drained stderr pipe (Spark ERROR
       // logs, OOM traces) would deadlock the child at ~64KB; scala.util.Try
       // makes the fallback reachable when the taskset binary is absent
@@ -161,12 +162,23 @@ object Bench {
           t
         }
     }
-    val tLo = leg(cpusLo)
+    // INTERLEAVED pairs: host cycle delivery drifts over minutes, so a
+    // lone lo-then-hi sequence can tilt the ratio either way; running
+    // (lo, hi) back to back 3 times and taking the median pair ratio
+    // exposes both levels to the same drift. Each pinned JVM runs a
+    // median-of-2 internally.
     val cpusHi = cpusLo * 4
-    val tHi = leg(cpusHi)
+    val pairs = (1 to 3).map { _ =>
+      val lo = leg(cpusLo)
+      val hi = leg(cpusHi)
+      (lo, hi)
+    }
+    val ratios = pairs.map { case (lo, hi) => lo / hi }.sorted
+    val medianIdx = ratios.length / 2
+    val (tLo, tHi) = pairs.sortBy { case (lo, hi) => lo / hi }.apply(medianIdx)
 
     val docsPerSec = nDocs / tHiAtCpus
-    val efficiency = (tLo / tHi) / (cpusHi.toDouble / cpusLo)
+    val efficiency = ratios(medianIdx) / (cpusHi.toDouble / cpusLo)
 
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qs = queryTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
