@@ -154,19 +154,21 @@ object Bench {
       "LEG_SEC=([0-9.]+)".r.findFirstMatchIn(legOut)
         .map(_.group(1).toDouble)
         .getOrElse {
-          // fallback: in-process leg (taskset unavailable)
+          // fallback: in-process leg (taskset unavailable) — same
+          // median-of-3 discipline as the published pinned methodology
           val s = session(c)
           extractLeg(s, warmPath, c)
-          val t = (1 to 3).map(_ => timeSec { extractLeg(s, pagesPath, 0) }).min
+          val ts = (1 to 3).map(_ => timeSec { extractLeg(s, pagesPath, 0) }).sorted
           s.stop()
-          t
+          ts(1)
         }
     }
     // INTERLEAVED pairs: host cycle delivery drifts over minutes, so a
     // lone lo-then-hi sequence can tilt the ratio either way; running
     // (lo, hi) back to back 3 times and taking the median pair ratio
-    // exposes both levels to the same drift. Each pinned JVM runs a
-    // median-of-2 internally.
+    // exposes both levels to the same drift. Each pinned JVM runs ONE
+    // timed measurement (after warmup); the median is taken across the
+    // three interleaved pairs, not inside a leg.
     val cpusHi = cpusLo * 4
     val pairs = (1 to 3).map { _ =>
       val lo = leg(cpusLo)
@@ -183,10 +185,15 @@ object Bench {
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qs = queryTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    println(
+    val line =
       s"""{"metric":"extract_docs_per_sec","value":${f(docsPerSec)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir"""" +
       s""","queries_total_sec":${f(total)},"extract_docs":$nDocs,"extract_ok":$okHi,"extract_sec":${f(tHiAtCpus)}""" +
       s""","task_ms_median":$medianTaskMs,"task_ms_max":$maxTaskMs""" +
-      s""","scaling":{"cpus_lo":$cpusLo,"sec_lo":${f(tLo)},"cpus_hi":$cpusHi,"sec_hi":${f(tHi)},"efficiency":${f(efficiency)}}}""")
+      s""","scaling":{"cpus_lo":$cpusLo,"sec_lo":${f(tLo)},"cpus_hi":$cpusHi,"sec_hi":${f(tHi)},"efficiency":${f(efficiency)}}}"""
+    println(line)
+    // belt-and-braces: also land the metric line in a file so the bench
+    // signal stays machine-readable even if a log wrapper prefixes stdout
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n"))
   }
 }

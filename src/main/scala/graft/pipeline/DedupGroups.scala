@@ -51,19 +51,34 @@ object DedupGroups {
         .join(hop.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
         .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
-        .filter(col("rep") =!= col("prev")).limit(1).count()
+      // convergence probe only every other hop (and on the last): each
+      // probe is a full extra Spark job, and duplicate clusters converge
+      // in 1-2 hops anyway — the odd-hop probe halves the per-run job
+      // count without ever adding more than one surplus hop
+      if (i % 2 == 1 || i == maxIters - 1) {
+        val changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
+          .filter(col("rep") =!= col("prev")).limit(1).count()
+        converged = changed == 0
+      }
       labels = next
-      converged = changed == 0
       i += 1
     }
     edges.unpersist()
     labels
   }
 
-  /** Group summary: representative, member count, members. */
-  def groups(pairs: DataFrame): DataFrame =
+  /** Group summary: representative, member count, members (bounded).
+    *
+    * The members list is capped at `memberCap` ids: an unbounded
+    * collect_list is the one construct here that can OOM a task at
+    * 100 TB (a mirror-farm mega-cluster holds millions of ids). The
+    * scale-safe primary output of a dedup pass is the (id, rep) label
+    * table from connectedComponents; `members` is the bounded summary
+    * view. */
+  def groups(pairs: DataFrame, memberCap: Int = 100): DataFrame =
     connectedComponents(pairs)
       .groupBy("rep")
-      .agg(count(lit(1)).as("n_members"), sort_array(collect_list("id")).as("members"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        slice(sort_array(collect_list("id")), 1, memberCap).as("members"))
 }

@@ -16,12 +16,18 @@ object Stagers {
   def dropAllEmptyColumns(df: DataFrame): DataFrame = {
     if (df.columns.isEmpty) return df
     // exact-empty only: the reference maps only "" to NaN
-    // (replace("", NaN)), so whitespace-only values KEEP their column
-    val counts = df.select(df.columns.map(c =>
-      sum(when(col(c).isNotNull && col(c).cast("string") =!= "", 1L)
-        .otherwise(0L)).as(c)): _*).head()
+    // (replace("", NaN)), so whitespace-only values KEEP their column.
+    // The row count rides in slot 0 of the same single-pass agg: a
+    // ZERO-ROW frame keeps all its columns (pandas dropna(how='all')
+    // drops nothing from an empty frame), it must not drop everything
+    // just because every sum is null over no rows.
+    val counts = df.select(
+      count(lit(1)) +: df.columns.map(c =>
+        sum(when(col(c).isNotNull && col(c).cast("string") =!= "", 1L)
+          .otherwise(0L)).as(c)): _*).head()
+    if (counts.getLong(0) == 0L) return df
     val keep = df.columns.zipWithIndex
-      .filter { case (_, i) => !counts.isNullAt(i) && counts.getLong(i) > 0 }
+      .filter { case (_, i) => !counts.isNullAt(i + 1) && counts.getLong(i + 1) > 0 }
       .map { case (c, _) => col(c) }
     df.select(keep: _*)
   }

@@ -88,6 +88,9 @@ object GraftTable {
 
     var processed = 0
     var totalDocs = 0L
+    var totalOk = 0L
+    var totalErr = 0L
+    var totalBytes = 0L
     var waveIdx = 0
     remaining.grouped(bucketsPerWave).foreach { wave =>
       if (waveIdx >= failAfterWaves)
@@ -148,12 +151,20 @@ object GraftTable {
       writeSnapshot(root, waveIdx, wave, metrics.map(m => (m.bucket, m.n_docs)))
       processed += wave.size
       totalDocs += metrics.map(_.n_docs).sum
+      totalOk += metrics.map(_.n_ok).sum
+      totalErr += metrics.map(_.n_err).sum
+      totalBytes += metrics.map(_.bytes_in).sum
       waveIdx += 1
     }
 
+    // report counts come from the DURABLE lineage rows, not the live
+    // accumulators: task retries / speculative execution overcount
+    // accumulators incremented inside a transformation, and the report is
+    // documented to mirror the lineage table exactly. The accumulators
+    // remain strictly live progress indicators (the tqdm analog).
     RunReport(nBuckets, done.size, processed, totalDocs,
       System.currentTimeMillis() - t0,
-      docsOk = okAcc.value, docsErr = errAcc.value, bytesIn = bytesAcc.value)
+      docsOk = totalOk, docsErr = totalErr, bytesIn = totalBytes)
   }
 
   private def writeSnapshot(
