@@ -884,8 +884,90 @@ object Queries {
         .selectExpr("downloader", "url", "success", "filepath", "n_bytes"),
     None)
 
+  /** Google Scholar paged-search analog (SURVEY.md §2.1 row 9, §2.9): the
+    * generator/UDTF shape — 5 query rows fan out to pages of 10 results
+    * against the deterministic scholar_snapshot, capped by the reference's
+    * num_pages arithmetic (num_articles=12 -> 2 pages -> 20 rows/query, a
+    * reference quirk kept faithfully). Snapshot synthesis is pure
+    * integer->string arithmetic, regenerated identically by the oracle. */
+  private val q30 = {
+    import graft.pipeline.Scholar
+    Q(
+      "q30_scholar_search",
+      (s, _) => {
+        val qs = s.range(0, 5).selectExpr("concat('topic ', id) AS search_text")
+        Scholar.search(qs, Scholar.snapshot(s), publicationType = "all", numArticles = 12)
+      },
+      Some("""WITH snap AS (
+        SELECT concat('topic ', qid) AS q, idx,
+          concat('Paper ', qid, '-', idx, ': advances in topic ', qid) AS title,
+          concat('https://articles.example.org/a/', qid, '/', idx) AS article_url,
+          CASE WHEN idx % 7 = 0 THEN 'N/A' ELSE concat('Snippet ', qid, ' ', idx, ' about topic ', qid) END AS abstract_snippet,
+          concat('Save Cite Cited by ', (idx * 13 + qid * 3) % 500, ' Related articles') AS gs_flb_text,
+          concat('A Author, B Author - Journal of Topic ', qid, ', ', 1990 + (idx * 7 + qid) % 35, ' - pub.example.org') AS gs_a_text
+        FROM (SELECT id // 30 AS qid, id % 30 AS idx
+              FROM (SELECT unnest(generate_series(0, 749)) AS id))),
+      qs AS (SELECT concat('topic ', id) AS search_text
+             FROM (SELECT unnest(generate_series(0, 4)) AS id))
+      SELECT search_text, idx, title,
+        CASE WHEN regexp_extract(gs_a_text, '\d{4}') = '' THEN gs_a_text
+             ELSE regexp_extract(gs_a_text, '\d{4}') END AS pub_date,
+        article_url AS doi,
+        'all' AS internal_id,
+        TRY_CAST(regexp_extract(gs_flb_text, '\d+') AS BIGINT) AS times_cited,
+        abstract_snippet AS abstract_text
+      FROM qs JOIN snap ON search_text = q
+      WHERE idx < 20"""))
+  }
+
+  /** Complete enrichment family (SURVEY.md §2.1 rows 6-10, §2.3 row 24):
+    * Dimensions + crosscite biblio + abstract (JSON-path extraction) +
+    * SemanticScholar figures, all broadcast LEFT joins over snapshots
+    * synthesized relationally from `documents` — the oracle regenerates
+    * the snapshots and re-runs the joins independently. pub_date coerces
+    * with try_to_timestamp (null on garbage = pandas errors="coerce",
+    * /root/reference/src/fetch.py:229-234). */
+  private val q31 = Q(
+    "q31_enrich_full",
+    (s, dir) => graft.pipeline.Enrichment.enrichFull(s, dir),
+    Some("""WITH docs AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN concat('10.5555/d', doc_id) END AS doi,
+        concat('Paper ', doc_id) AS title FROM documents),
+      dim AS (SELECT concat('10.5555/d', doc_id) AS doi,
+        (doc_id * 7) % 90 AS times_cited,
+        concat('Journal of Topic ', doc_id % 12) AS journal_title,
+        concat('pub.', doc_id) AS internal_id,
+        CASE WHEN doc_id % 5 = 0 THEN 'not-a-date'
+             ELSE concat(1990 + doc_id % 35, '-0', 1 + doc_id % 9, '-1', doc_id % 10) END AS pub_date_raw
+        FROM documents WHERE doc_id % 6 = 0),
+      bib AS (SELECT concat('10.5555/d', doc_id) AS doi,
+        concat('Author A. (', 1990 + doc_id % 35, '). Paper ', doc_id, '. Journal of Topic ', doc_id % 12, '.') AS biblio
+        FROM documents WHERE doc_id % 6 = 3),
+      abst AS (SELECT concat('pub.', doc_id) AS internal_id,
+        concat('{"docs":[{"abstract":"Abstract body for ', doc_id, '"}]}') AS abstract_json
+        FROM documents WHERE doc_id % 6 = 0 AND doc_id % 4 != 1),
+      figs AS (SELECT concat('Paper ', doc_id) AS title,
+        CAST(doc_id % 4 AS BIGINT) AS n_figures,
+        CASE WHEN doc_id % 4 > 0 THEN array_to_string(list_transform(generate_series(0, doc_id % 4 - 1),
+          j -> concat('https://figs.example.org/', doc_id, '/', j)), ',') END AS figures_csv
+        FROM documents WHERE doc_id % 2 = 0)
+      SELECT d.doc_id, coalesce(d.doi, 'N/A') AS doi, d.title,
+        m.times_cited,
+        coalesce(m.journal_title, 'N/A') AS journal_title,
+        coalesce(m.internal_id, 'N/A') AS internal_id,
+        CAST(TRY_CAST(m.pub_date_raw AS TIMESTAMP) AS DATE) AS pub_date,
+        coalesce(b.biblio, 'N/A') AS biblio,
+        coalesce(json_extract_string(a.abstract_json, '$.docs[0].abstract'), 'N/A') AS abstract_text,
+        f.n_figures,
+        coalesce(f.figures_csv, 'N/A') AS figures_csv
+      FROM docs d LEFT JOIN dim m ON d.doi = m.doi
+        LEFT JOIN bib b ON d.doi = b.doi
+        LEFT JOIN abst a ON m.internal_id = a.internal_id
+        LEFT JOIN figs f ON d.title = f.title"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31)
 }
