@@ -51,4 +51,43 @@ object Downloads {
         n_bytes = if (ok) p.html.length.toLong else 0L)
     }.toDF()
   }
+
+  /** Deterministic minimal PNG payload (signature + url-hash-derived
+    * filler): the offline stand-in for the fetched image bytes, sniffable
+    * by graft.multimodal.BinaryFeatures' png magic check. */
+  def pngPayload(imgUrl: String): Array[Byte] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+    val h = fnv1a64(imgUrl)
+    val n = 64 + math.floorMod(h, 128).toInt
+    val body = Array.tabulate[Byte](n)(i => ((h >>> (i % 8 * 8)) & 0xff).toByte)
+    sig ++ body
+  }
+
+  /** Images-mode receipts (reference ImagesDownloader,
+    * /root/reference/src/downloaders.py:293-344): one figure fetch per
+    * HTML page. Filename keeps the reference's
+    * `{today}_{etag}_{file_id}.{ext}` shape (downloaders.py:346-366) with
+    * the Etag and file_id made deterministic (Etag = hex of the image-url
+    * hash; file_id = url hash folded into the reference's randint(1,255)
+    * range); ext = the url's last dot-suffix (downloaders.py:306). */
+  def imageReceipts(pages: Dataset[PageRecord], today: java.time.LocalDate): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val prefix = today.format(java.time.format.DateTimeFormatter.ofPattern("yyMMdd"))
+    pages
+      .filter(p => !graft.pdf.PdfDoc.isPdf(p.html))
+      .map { p =>
+        val imgUrl = s"${p.url}/figures/0.png"
+        val ext = imgUrl.split('.').last
+        val etag = java.lang.Long.toHexString(fnv1a64(imgUrl))
+        val fileId = math.floorMod(fnv1a64(p.url), 255) + 1
+        val payload = pngPayload(imgUrl)
+        DownloadReceipt(
+          downloader = "graft.ImagesDownloader",
+          url = imgUrl,
+          success = payload.nonEmpty,
+          filepath = s"${prefix}_${etag}_$fileId.$ext",
+          n_bytes = payload.length.toLong)
+      }.toDF()
+  }
 }

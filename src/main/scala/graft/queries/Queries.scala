@@ -875,13 +875,18 @@ object Queries {
       LIMIT 50"""))
 
   /** Download-mode analog: per-page receipts with deterministic dated
-    * filepaths; payload bytes stay a column (SURVEY.md §2.1 row 12). */
+    * filepaths; payload bytes stay a column (SURVEY.md §2.1 row 12).
+    * Covers BOTH downloader kinds: the bulk-PDF path and the images path
+    * (Etag-style names, png payloads — reference downloaders.py:293-366). */
   private val q29 = Q(
     "q29_download_receipts",
-    (s, _) =>
-      graft.pipeline.Downloads.receipts(
-          ExtractPipeline.pages(s, 400), java.time.LocalDate.of(2026, 8, 16))
-        .selectExpr("downloader", "url", "success", "filepath", "n_bytes"),
+    (s, _) => {
+      val pages = ExtractPipeline.pages(s, 400)
+      val today = java.time.LocalDate.of(2026, 8, 16)
+      graft.pipeline.Downloads.receipts(pages, today)
+        .unionByName(graft.pipeline.Downloads.imageReceipts(pages, today))
+        .selectExpr("downloader", "url", "success", "filepath", "n_bytes")
+    },
     None)
 
   /** Google Scholar paged-search analog (SURVEY.md §2.1 row 9, §2.9): the
@@ -965,9 +970,120 @@ object Queries {
         LEFT JOIN abst a ON m.internal_id = a.internal_id
         LEFT JOIN figs f ON d.title = f.title"""))
 
+  /** Export-time type downcasting (SURVEY.md §2.7 rows 45-46; reference
+    * KEY_TYPE_PAIRINGS, /root/reference/src/config.py:119-135 applied in
+    * fetch.py:205-227): the four count columns leave as int16 and
+    * pub_date coerces — the oracle asserts SMALLINT on both engines, so
+    * the driver's schema check IS the test. wordscore's float16 leg is
+    * pinned against reference goldens in CastingSpec (DuckDB has no
+    * half type to mirror it). */
+  private val q32 = Q(
+    "q32_export_cast",
+    (s, dir) => {
+      val counts = t(s, dir, "documents")
+        .selectExpr("doc_id", s"$SparkToks AS toks")
+        .selectExpr("doc_id",
+          s"size(filter(toks, w -> w IN $TargetList)) AS matching_terms",
+          s"size(filter(toks, w -> w IN $BycatchList)) AS bycatch_terms",
+          "size(toks) AS total_word_count")
+      val dim = graft.pipeline.Enrichment.dimSnap(s, dir)
+        .selectExpr("doi", "times_cited", "pub_date_raw AS pub_date")
+      val docs = graft.pipeline.Enrichment.docsFrame(s, dir).select("doc_id", "doi")
+      val frame = counts.join(docs, Seq("doc_id")).join(broadcast(dim), Seq("doi"), "left")
+      graft.pipeline.Casting.dataframeCasting(frame)
+        .selectExpr("doc_id", "doi", "times_cited", "matching_terms",
+          "bycatch_terms", "total_word_count", "CAST(pub_date AS DATE) AS pub_date")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+      counts AS (SELECT doc_id,
+        len(list_filter(toks, w -> w IN $TargetList)) AS matching_terms,
+        len(list_filter(toks, w -> w IN $BycatchList)) AS bycatch_terms,
+        len(toks) AS total_word_count FROM tk),
+      docs AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN concat('10.5555/d', doc_id) END AS doi
+        FROM documents),
+      dim AS (SELECT concat('10.5555/d', doc_id) AS doi,
+        (doc_id * 7) % 90 AS times_cited,
+        CASE WHEN doc_id % 5 = 0 THEN 'not-a-date'
+             ELSE concat(1990 + doc_id % 35, '-0', 1 + doc_id % 9, '-1', doc_id % 10) END AS pub_date
+        FROM documents WHERE doc_id % 6 = 0)
+      SELECT c.doc_id, d.doi,
+        CAST(m.times_cited AS SMALLINT) AS times_cited,
+        CAST(c.matching_terms AS SMALLINT) AS matching_terms,
+        CAST(c.bycatch_terms AS SMALLINT) AS bycatch_terms,
+        CAST(c.total_word_count AS SMALLINT) AS total_word_count,
+        CAST(TRY_CAST(m.pub_date AS TIMESTAMP) AS DATE) AS pub_date
+      FROM counts c JOIN docs d USING (doc_id) LEFT JOIN dim m USING (doi)"""))
+
+  /** Deterministic CSV fixture for q33, shaped like the reference's
+    * test_example_file_1.csv (quoted dict-literal cells, missing values,
+    * plain DOIs — /root/reference/tests/test_dirs/). Written to a FIXED
+    * absolute path so the static oracle SQL can read_csv the same file;
+    * the query fn (re)writes it on every invocation, so it exists before
+    * the driver's DuckDB compare runs. */
+  private object CsvFixture {
+    val path = "/root/repo/target/verify_aux/wordscore_input.csv"
+    private val pool = Vector(
+      "spark", "table", "query", "join", "agg", "scan", "hash", "merge",
+      "sort", "stream", "slow", "big", "small", "data", "row", "file",
+      "code", "test", "line", "word", "page")
+    def ensure(): String = synchronized {
+      val f = new java.io.File(path)
+      f.getParentFile.mkdirs()
+      val sb = new StringBuilder("row_id,doi,abstract\n")
+      for (i <- 0 until 60) {
+        val doi =
+          if (i % 5 == 0) s""""{'doi': '10.5555/c$i', 'title': 'T$i'}""""
+          else if (i % 5 == 1) ""
+          else s"10.5555/c$i"
+        val words = (0 until 10 + i % 13).map(j => pool((i * 7 + j * 5) % pool.length))
+        sb.append(s"$i,$doi,${words.mkString(" ")}\n")
+      }
+      java.nio.file.Files.writeString(f.toPath, sb.toString)
+      path
+    }
+  }
+
+  /** The wordscore-mode FRONT HALF end-to-end over a real CSV (SURVEY.md
+    * §2.1 rows 1/11 + §2.2 rows 14-15): header CSV scan with column
+    * pruning (usecols analog), Python-dict-literal cell cleanup, NA fill,
+    * tokenize + score. The fixture CSV is written deterministically to a
+    * fixed path so the oracle reads the SAME file with read_csv. */
+  private val q33 = Q(
+    "q33_csv_wordscore",
+    (s, _) => {
+      val path = CsvFixture.ensure()
+      val raw = s.read.option("header", "true").csv(path)
+        .select("row_id", "doi", "abstract") // pruning: usecols analog
+      val cleaned = graft.pipeline.Stagers.fillNA(
+        graft.pipeline.Stagers.cleanDictColumn(raw, "doi", "doi"), Seq("doi"))
+      cleaned
+        .selectExpr("CAST(row_id AS BIGINT) AS row_id", "doi",
+          "split(lower(trim(abstract)), ' ', -1) AS toks")
+        .selectExpr("row_id", "doi",
+          s"CAST(size(filter(toks, w -> w IN $TargetList)) AS BIGINT) AS m",
+          s"CAST(size(filter(toks, w -> w IN $BycatchList)) AS BIGINT) AS b",
+          "CAST(size(toks) AS BIGINT) AS t")
+        .selectExpr("row_id", "doi", "m AS matching_terms", "b AS bycatch_terms",
+          "t AS total_word_count", s"$ScoreExpr AS wordscore_e4")
+    },
+    Some(s"""WITH raw AS (SELECT row_id, doi, abstract
+        FROM read_csv('${CsvFixture.path}', header=true)),
+      cleaned AS (SELECT CAST(row_id AS BIGINT) AS row_id,
+        coalesce(CASE WHEN doi LIKE '{%' THEN regexp_extract(doi, '''doi'': ''([^'']*)''', 1)
+                      ELSE doi END, 'N/A') AS doi,
+        abstract FROM raw),
+      tk AS (SELECT row_id, doi, string_split(lower(trim(abstract)), ' ') AS toks FROM cleaned),
+      c AS (SELECT row_id, doi,
+        CAST(len(list_filter(toks, w -> w IN $TargetList)) AS BIGINT) AS m,
+        CAST(len(list_filter(toks, w -> w IN $BycatchList)) AS BIGINT) AS b,
+        CAST(len(toks) AS BIGINT) AS t FROM tk)
+      SELECT row_id, doi, m AS matching_terms, b AS bycatch_terms,
+        t AS total_word_count, $ScoreExpr AS wordscore_e4 FROM c"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31)
+    q31, q32, q33)
 }
