@@ -698,36 +698,69 @@ object Queries {
         WHERE rnk <= 5"""))
   }
 
+  /** Fixed aux-dump dir: q21/q22 run the REAL extraction pipeline, whose
+    * output is not SQL-derivable — so each query materializes its input
+    * frame here and the static oracle SQL reads the SAME parquet with
+    * read_parquet. The relational operator (explode-with-parent; left
+    * join + fillna) then gets a genuine cross-engine check while the
+    * extraction itself stays gated by the byte-identical corpus tests. */
+  private val AuxDir = "/root/repo/target/verify_aux"
+
   /** Citation-edge staging: explode each doc's citation spans carrying the
     * parent title — one Generate operator where the reference needs
-    * stager+loop+positional-join (SURVEY.md §3.3). */
+    * stager+loop+positional-join (SURVEY.md §3.3). explode_outer keeps
+    * citation-less parents as a NULL-citation row (the oracle mirrors
+    * that with the UNION ALL branch). */
   private val q21 = Q(
     "q21_citation_edges",
     (s, _) => {
       import s.implicits._
       val extracted = ExtractPipeline.extract(
         ExtractPipeline.pages(s, 400), numPartitions = 0)
+      extracted.toDF().select("url", "title", "citation_spans")
+        .write.mode("overwrite").parquet(s"$AuxDir/q21_input")
       graft.pipeline.Stagers.explodeWithSource(
-        extracted.toDF(), "title", "citation_spans")
+        s.read.parquet(s"$AuxDir/q21_input"), "title", "citation_spans")
     },
-    None)
+    Some(s"""WITH t AS (SELECT title, citation_spans
+        FROM read_parquet('$AuxDir/q21_input/*.parquet'))
+      SELECT title AS source_titles, unnest(citation_spans) AS citation
+      FROM t WHERE citation_spans IS NOT NULL AND len(citation_spans) > 0
+      UNION ALL
+      SELECT title AS source_titles, NULL AS citation
+      FROM t WHERE citation_spans IS NULL OR len(citation_spans) = 0"""))
 
   /** Offline enrichment: broadcast-hash LEFT join of extracted docs vs the
-    * deterministic Dimensions-style snapshot, misses filled "N/A". */
+    * deterministic Dimensions-style snapshot, misses filled "N/A". Both
+    * join inputs are dumped for the oracle, which re-runs the join +
+    * fillna independently. */
   private val q22 = Q(
     "q22_enrich_join",
     (s, _) => {
       import s.implicits._
       val extracted = ExtractPipeline.extract(
         ExtractPipeline.pages(s, 400), numPartitions = 0)
+      extracted.toDF().select("url", "doi", "title")
+        .write.mode("overwrite").parquet(s"$AuxDir/q22_extracted")
+      graft.pipeline.Enrichment.dimensionsSnapshot(s, 400)
+        .write.mode("overwrite").parquet(s"$AuxDir/q22_snapshot")
       graft.pipeline.Enrichment.enrich(
-        extracted.toDF().select("url", "doi", "title"),
-        graft.pipeline.Enrichment.dimensionsSnapshot(s, 400))
+        s.read.parquet(s"$AuxDir/q22_extracted"),
+        s.read.parquet(s"$AuxDir/q22_snapshot"))
     },
-    None)
+    Some(s"""SELECT e.doi, e.url, e.title, sn.times_cited,
+        coalesce(sn.journal_title, 'N/A') AS journal_title,
+        coalesce(sn.internal_id, 'N/A') AS internal_id
+      FROM read_parquet('$AuxDir/q22_extracted/*.parquet') e
+      LEFT JOIN read_parquet('$AuxDir/q22_snapshot/*.parquet') sn ON e.doi = sn.doi"""))
 
   /** Python-dict-literal cell cleanup (never eval) with the reference's
-    * partition-then-concat reorder — SURVEY.md §2.2 row 15. */
+    * partition-then-concat reorder — SURVEY.md §2.2 row 15. The cell
+    * synthesis is pure integer->string arithmetic, so the oracle
+    * regenerates the cells and extracts the dict value with an
+    * independent regex — a real cross-engine check of the parser on this
+    * cell population (its full literal grammar is pinned in
+    * PyDictParserSpec). */
   private val q23 = Q(
     "q23_dict_cells",
     (s, _) => {
@@ -742,7 +775,15 @@ object Queries {
       graft.pipeline.Stagers.cleanDictColumn(
         cells, "doi", "doi", referenceReorder = true)
     },
-    None)
+    Some("""WITH cells AS (SELECT id AS row_id,
+        CASE WHEN id % 3 = 0 THEN concat('{''doi'': ''10.5555/x', id, ''', ''title'': ''T', id, ''', ''year'': ', 2000 + id % 25, '}')
+             WHEN id % 3 = 1 THEN concat('10.5555/y', id)
+             ELSE 'N/A' END AS doi
+        FROM (SELECT unnest(generate_series(0, 299)) AS id))
+      SELECT row_id,
+        CASE WHEN doi LIKE '{%' THEN regexp_extract(doi, '''doi'': ''([^'']*)''', 1)
+             ELSE doi END AS doi
+      FROM cells"""))
 
   /** Near-dup PAIRS -> duplicate GROUPS: connected components over the
     * q15 edge set (iterative min-label propagation with pointer jumping —
