@@ -1122,9 +1122,81 @@ object Queries {
       SELECT row_id, doi, m AS matching_terms, b AS bycatch_terms,
         t AS total_word_count, $ScoreExpr AS wordscore_e4 FROM c"""))
 
+  /** ANN via IVF (inverted-file) coarse quantization — the second scale
+    * path next to q24's SRP-LSH: centroids are the first 16 corpus
+    * vectors (data-sampled coarse quantizer, the cheap standard when a
+    * k-means pass is not warranted), every vector is assigned to its
+    * nearest centroid's cell, probes search their nprobe=2 nearest cells
+    * and exact cosine re-ranks candidates only. At 100 TB the index is
+    * the (cell, vec_id) posting table partitioned by cell; a probe
+    * touches ~nprobe/k of the corpus instead of all of it, and the
+    * centroid table (k rows) is the only broadcast. */
+  private val q34 = Q(
+    "q34_ann_ivf",
+    (s, dir) => {
+      val k = 16
+      val qq = t(s, dir, "embeddings")
+        .selectExpr(
+          "vec_id",
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv")
+        .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
+      val cent = qq.filter(col("vec_id") < k)
+        .selectExpr("vec_id AS cid", "qv AS cv", "nrm AS cnrm")
+      // centroid-similarity ranking per vector: k rows per vector, tiny
+      val assign = qq
+        .join(broadcast(cent))
+        .withColumn("dotc", GraftFunctions.dot_i64(col("qv"), col("cv")))
+        .selectExpr("vec_id", "cid", "qv", "nrm",
+          "CAST(dotc AS DOUBLE) / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) AS cosc")
+        .withColumn("rnk_c", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cosc").desc, col("cid"))))
+      val cells = assign.filter(col("rnk_c") === 1)
+        .selectExpr("cid", "vec_id AS neighbor_id", "qv AS qb", "nrm AS nb")
+      val probes = assign.filter(col("vec_id") < 100 && col("rnk_c") <= 2)
+        .selectExpr("vec_id", "cid", "qv AS qa", "nrm AS na")
+      probes
+        .join(cells, Seq("cid"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("dot", GraftFunctions.dot_i64(col("qa"), col("qb")))
+        .selectExpr("vec_id", "neighbor_id",
+          "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS c")
+        .groupBy("vec_id", "neighbor_id").agg(max("c").as("c")) // probe hit via both cells -> once
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("c").desc, col("neighbor_id"))))
+        .filter(col("rnk") <= 5)
+        .selectExpr("vec_id", "neighbor_id", "CAST(rnk AS BIGINT) AS rnk",
+          "CAST(FLOOR(c*1000000.0 + 0.5) AS BIGINT) AS cos_e6")
+    },
+    Some("""WITH q AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+      qq AS (SELECT vec_id, qv,
+        CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS nrm FROM q),
+      cent AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM qq WHERE vec_id < 16),
+      assign AS (SELECT vec_id, cid, qv, nrm,
+          CAST(dotc AS DOUBLE) / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) AS cosc,
+          row_number() OVER (PARTITION BY vec_id ORDER BY
+            CAST(dotc AS DOUBLE) / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) DESC, cid) AS rnk_c
+        FROM (SELECT a.vec_id, c.cid, a.qv, a.nrm, c.cnrm,
+            CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qv[i]*c.cv[i])) AS BIGINT) AS dotc
+          FROM qq a CROSS JOIN cent c)),
+      cells AS (SELECT cid, vec_id AS neighbor_id, qv AS qb, nrm AS nb FROM assign WHERE rnk_c = 1),
+      probes AS (SELECT vec_id, cid, qv AS qa, nrm AS na FROM assign WHERE vec_id < 100 AND rnk_c <= 2),
+      scored AS (SELECT p.vec_id, cl.neighbor_id,
+          MAX(CAST(list_sum(list_transform(generate_series(1, 64), i -> p.qa[i]*cl.qb[i])) AS DOUBLE)
+            / (sqrt(CAST(p.na AS DOUBLE)) * sqrt(CAST(cl.nb AS DOUBLE)))) AS c
+        FROM probes p JOIN cells cl ON p.cid = cl.cid AND p.vec_id <> cl.neighbor_id
+        GROUP BY p.vec_id, cl.neighbor_id)
+      SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+        CAST(FLOOR(c*1000000.0 + 0.5) AS BIGINT) AS cos_e6
+      FROM (SELECT vec_id, neighbor_id, c,
+              row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rnk
+            FROM scored)
+      WHERE rnk <= 5"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33)
+    q31, q32, q33, q34)
 }

