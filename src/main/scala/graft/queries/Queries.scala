@@ -82,15 +82,18 @@ object Queries {
       (0 until nTables).map(t => s"SELECT $idCol, $t AS tbl, b$t AS bucket FROM qq").mkString(" UNION ALL ")
   }
 
-  /** Bounded cache for q15's signature table: re-invocations (q15 itself,
-    * q25 building on it, repeated bench sweeps) unpersist the previous
-    * entry so at most ONE cached copy lives in the session. */
-  private object Q15Cache {
-    private var last: Option[DataFrame] = None
-    def swap(df: DataFrame): DataFrame = synchronized {
-      last.foreach(d => scala.util.Try(d.unpersist(false)))
-      last = Some(df)
-      df
+  /** Bounded per-query cache of persisted INTERMEDIATES: a re-invocation
+    * (repeated bench sweeps) unpersists the previous generation, so at
+    * most one live copy per query key exists in the session. Spark does
+    * not share work between the two sides of a self-join — persisting the
+    * expensive projection (shingle/signature/bit tables) makes each side
+    * a cache read instead of a recompute, which at 100 TB is exactly the
+    * materialized signature table a dedup/ANN job writes once. */
+  private object SwapCache {
+    private var last: Map[String, List[DataFrame]] = Map.empty
+    def swap(key: String)(dfs: DataFrame*): Unit = synchronized {
+      last.getOrElse(key, Nil).foreach(d => scala.util.Try(d.unpersist(false)))
+      last = last.updated(key, dfs.toList)
     }
   }
 
@@ -460,17 +463,18 @@ object Queries {
         // of the jaccard join — persist it once instead of recomputing the
         // scan+tokenize+md5 three times (at scale: a materialized
         // signature table)
-        val aug = Q15Cache.swap(
-          base.unionByName(
+        val aug = base.unionByName(
               base.selectExpr("id + 1000000 AS id", "slice(toks, 2, size(toks)) AS toks"))
             .selectExpr("id", s"$sparkShingles AS sh")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // two md5s per shingle -> 64 hex chars -> eight independent 32-bit
         // lanes; band bucket = per-lane minimum (8x less hashing than
         // hash-per-band over every shingle)
         // r=2 banding: two independent 32-bit lane minima per band, so a
         // pair collides with probability ~J^2 instead of ~J — on this
         // corpus that is 41x fewer candidates at 99.96% planted recall
+        // sigs is persisted too: BOTH sides of the candidate self-join read
+        // it, and without the persist each side re-runs the md5 pass
         val sigs = aug
           .selectExpr("id",
             "transform(sh, w -> concat(md5(CAST(w AS BINARY)), md5(CAST(concat(w, '#') AS BINARY)))) AS hs")
@@ -478,6 +482,8 @@ object Queries {
           .selectExpr("id", "b",
             "concat(array_min(transform(hs, h -> substring(h, 16*b + 1, 8))), " +
               "array_min(transform(hs, h -> substring(h, 16*b + 9, 8)))) AS bucket")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        SwapCache.swap("q15")(aug, sigs)
         val s1 = sigs.selectExpr("id AS id_a", "b AS b_a", "bucket AS bucket_a")
         val s2 = sigs.selectExpr("id AS id_b", "b AS b_b", "bucket AS bucket_b")
         val pairs = s1.join(s2,
@@ -641,12 +647,17 @@ object Queries {
       "q24_ann_lsh",
       (s, dir) => {
         GraftFunctions.registerAll(s)
+        // persisted: the 32 hyperplane dot products per vector feed the
+        // bucket self-join (both sides) AND the two re-rank joins — four
+        // recomputes without the persist
         val qq = t(s, dir, "embeddings")
           .selectExpr(
             "vec_id",
             "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv")
           .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
           .selectExpr(Seq("vec_id", "qv", "nrm") ++ sTabs: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        SwapCache.swap("q24")(qq)
         val sigs = qq.selectExpr("vec_id", sStack)
         val cand = sigs.filter(col("vec_id") < 100)
           .selectExpr("vec_id", "tbl", "bucket")
@@ -837,9 +848,12 @@ object Queries {
             "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv")
         val aug = base.unionByName(
           base.selectExpr("id + 100000 AS id", s"$perturbSpark AS qv"))
+        // persisted for the same reason as q24's qq (4 consumers)
         val qq = aug
           .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
           .selectExpr(Seq("id", "qv", "nrm") ++ sTabs: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        SwapCache.swap("q26")(qq)
         val sigs = qq.selectExpr("id", sStack)
         val cand = sigs.selectExpr("id AS id_a", "tbl", "bucket")
           .join(sigs.selectExpr("id AS id_b", "tbl AS tbl2", "bucket AS bucket2"),
@@ -1142,7 +1156,9 @@ object Queries {
         .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
       val cent = qq.filter(col("vec_id") < k)
         .selectExpr("vec_id AS cid", "qv AS cv", "nrm AS cnrm")
-      // centroid-similarity ranking per vector: k rows per vector, tiny
+      // centroid-similarity ranking per vector: k rows per vector, tiny.
+      // Persisted: cells and probes both read it — without the persist
+      // each consumer re-runs the k dot products per vector.
       val assign = qq
         .join(broadcast(cent))
         .withColumn("dotc", GraftFunctions.dot_i64(col("qv"), col("cv")))
@@ -1150,6 +1166,8 @@ object Queries {
           "CAST(dotc AS DOUBLE) / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) AS cosc")
         .withColumn("rnk_c", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("cosc").desc, col("cid"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      SwapCache.swap("q34")(assign)
       val cells = assign.filter(col("rnk_c") === 1)
         .selectExpr("cid", "vec_id AS neighbor_id", "qv AS qb", "nrm AS nb")
       val probes = assign.filter(col("vec_id") < 100 && col("rnk_c") <= 2)
