@@ -51,12 +51,69 @@ object Boilerplate {
   def extract(root: HElem): Extraction = {
     val main = mainContainer(root)
     val mainText = main.map(blockTexts(_).mkString("\n")).getOrElse("")
+    // ONE pre-order pass feeds every field heuristic below (title,
+    // abstract, doi, citations) — semantics identical to the per-field
+    // find* methods, which each re-traversed the tree. This is the hot
+    // path of the whole engine: it runs per page of the corpus.
+    var firstH1: HElem = null
+    var firstTitleTag: HElem = null
+    var firstAbstract: HElem = null
+    var doiMetaSeen = false
+    var doiMetaContent: Option[String] = None
+    var firstDoiMarker: HElem = null
+    val cites = mutable.ListBuffer.empty[HElem]
+    val it = root.descendants
+    while (it.hasNext) {
+      val e = it.next()
+      if (firstH1 == null && e.tag == "h1") firstH1 = e
+      if (firstTitleTag == null && e.tag == "title") firstTitleTag = e
+      val cls = e.attrs.getOrElse("class", "")
+      val idv = e.attrs.getOrElse("id", "")
+      val hasMarker = cls.length != 0 || idv.length != 0
+      val markerSp = if (hasMarker) (cls + " " + idv).toLowerCase(java.util.Locale.ROOT) else " "
+      if (firstAbstract == null && hasMarker && markerSp.contains("abstract") && BlockTags.contains(e.tag))
+        firstAbstract = e
+      if (!doiMetaSeen && e.tag == "meta" &&
+          e.attr("name").exists(n => n == "citation_doi" || n == "dc.identifier")) {
+        doiMetaSeen = true
+        doiMetaContent = e.attr("content")
+      }
+      // findDoi's marker is class+id WITHOUT a separator (kept verbatim)
+      if (firstDoiMarker == null && hasMarker &&
+          (cls + idv).toLowerCase(java.util.Locale.ROOT).contains("doi"))
+        firstDoiMarker = e
+      // substring pre-check ("ref" also covers "reference") before the
+      // word-exact split — most elements carry no class/id at all
+      if (e.tag == "cite" ||
+          (hasMarker && (markerSp.contains("ref") || markerSp.contains("citation")) &&
+            MarkerSplit.split(markerSp).exists(w => w == "ref" || w == "citation" || w == "reference")))
+        cites += e
+    }
+
+    val title = Option(firstH1).map(_.normalizedText).filter(_.nonEmpty)
+      .orElse(Option(firstTitleTag).map(_.normalizedText).filter(_.nonEmpty))
+    val abstractText = Option(firstAbstract).map { e =>
+      val texts = blockTexts(e)
+      val body = texts match {
+        case h :: rest if h.equalsIgnoreCase("abstract") => rest
+        case other => other
+      }
+      body.mkString("\n")
+    }.filter(_.nonEmpty)
+    val doi = doiMetaContent.flatMap(Identifiers.extract)
+      .orElse(Option(firstDoiMarker).flatMap(e => Identifiers.extract(e.normalizedText)))
+      .orElse(Identifiers.extract(mainText))
+    val citeList = cites.toList
+    val citations = citeList
+      .filter(e => !citeList.exists(o => (o ne e) && isAncestor(e, o)))
+      .map(_.normalizedText).filter(_.nonEmpty)
+
     Extraction(
       mainText = mainText,
-      title = findTitle(root),
-      abstractText = findAbstract(root),
-      doi = findDoi(root, mainText),
-      citationSpans = findCitations(root))
+      title = title,
+      abstractText = abstractText,
+      doi = doi,
+      citationSpans = citations)
   }
 
   /** The density classifier: pick the container maximizing signed leaf
@@ -188,11 +245,13 @@ object Boilerplate {
       .orElse(Identifiers.extract(mainText))
   }
 
+  private val MarkerSplit = java.util.regex.Pattern.compile("[\\s_-]")
+
   def findCitations(root: HElem): List[String] = {
     val viaClass = root.descendants.filter { e =>
       val marker = (e.attrs.getOrElse("class", "") + " " + e.attrs.getOrElse("id", ""))
         .toLowerCase(java.util.Locale.ROOT)
-      e.tag == "cite" || marker.split("[\\s_-]").exists(w => w == "ref" || w == "citation" || w == "reference")
+      e.tag == "cite" || MarkerSplit.split(marker).exists(w => w == "ref" || w == "citation" || w == "reference")
     }.toList
     // keep only leaf-most citation nodes (avoid container duplication)
     viaClass.filter(e => !viaClass.exists(o => (o ne e) && isAncestor(e, o)))

@@ -28,11 +28,18 @@ final class HElem(
 
   def id: Option[String] = attrs.get("id")
   def classes: Set[String] =
-    attrs.get("class").map(_.split("\\s+").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    attrs.get("class").map(c => HElem.Ws.split(c).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
   def attr(name: String): Option[String] = attrs.get(name)
 
-  /** Element children only (what :nth-child counts). */
-  def elemChildren: Seq[HElem] = children.collect { case e: HElem => e }.toSeq
+  /** Element children only (what :nth-child counts). Cached after first
+    * read — the tree is parse-then-read (the parser never appends to a
+    * node after any consumer has queried it). */
+  private var _elemChildren: Seq[HElem] = _
+  def elemChildren: Seq[HElem] = {
+    if (_elemChildren == null)
+      _elemChildren = children.collect { case e: HElem => e }.toSeq
+    _elemChildren
+  }
 
   /** 1-based position among parent's ELEMENT children. */
   def nthChildIndex: Int =
@@ -73,20 +80,37 @@ final class HElem(
 
   /** Own + descendant text with runs of whitespace collapsed to single
     * spaces and trimmed — the normalized form the extraction pipeline
-    * emits per block. */
+    * emits per block. Hand-rolled collapse, byte-identical to
+    * `split("\\s+").filter(_.nonEmpty).mkString(" ")` (Java regex \s is
+    * exactly [ \t\n\f\r]) without the per-call Pattern compile —
+    * this runs once per block of every page in the corpus. */
   def normalizedText: String = {
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder
     def walk(n: HNode): Unit = n match {
       case t: HText => sb.append(t.data).append(' ')
       case e: HElem => e.children.foreach(walk)
       case _        => ()
     }
     children.foreach(walk)
-    sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    val out = new java.lang.StringBuilder(sb.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (ws) { if (out.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
   }
 }
 
 object HElem {
+  private[html] val Ws = java.util.regex.Pattern.compile("\\s+")
   def apply(tag: String, attrs: Map[String, String] = Map.empty): HElem =
     new HElem(tag, attrs)
 }

@@ -78,18 +78,27 @@ object Identifiers {
     */
   def extract(text: String): Option[String] = {
     val folded = text.toLowerCase(java.util.Locale.ROOT)
-    DoiPatterns.foreach { p =>
-      val m = p.matcher(folded)
-      if (m.find()) {
-        val g = m.group(1)
-        if (g != null && g.nonEmpty) return standardize(g, isDoi = true)
+    // necessary-condition prescans (semantics-preserving): every DOI
+    // pattern contains the literal `10\.`, and every arXiv pattern needs
+    // "arxiv", ".pdf", or the WHOLE input to be a short anchored id —
+    // one indexOf beats nine regex scans over body text, and this runs
+    // over the full main text of every doi-less page in the corpus
+    if (folded.contains("10.")) {
+      DoiPatterns.foreach { p =>
+        val m = p.matcher(folded)
+        if (m.find()) {
+          val g = m.group(1)
+          if (g != null && g.nonEmpty) return standardize(g, isDoi = true)
+        }
       }
     }
-    ArxivPatterns.foreach { p =>
-      val m = p.matcher(folded)
-      if (m.find()) {
-        val whole = m.group(0)
-        if (whole != null && whole.nonEmpty) return standardize(whole, isDoi = false)
+    if (folded.contains("arxiv") || folded.contains(".pdf") || folded.length <= 40) {
+      ArxivPatterns.foreach { p =>
+        val m = p.matcher(folded)
+        if (m.find()) {
+          val whole = m.group(0)
+          if (whole != null && whole.nonEmpty) return standardize(whole, isDoi = false)
+        }
       }
     }
     None
