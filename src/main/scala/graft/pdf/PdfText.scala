@@ -95,6 +95,15 @@ object PdfText {
 
     def num(o: PObj): Double = o match { case PNum(v) => v; case _ => 0.0 }
 
+    // advance the text matrix by a pure translation T(adv,0)·tm: only the
+    // e/f components change (e' = adv·a + e, f' = adv·b + f) — updated in
+    // place instead of two array allocations PER CHARACTER (tm is always
+    // a private clone after BT/Td/Tm, so mutation never aliases tlm)
+    def advance(adv: Double): Unit = {
+      tm(4) += adv * tm(0)
+      tm(5) += adv * tm(1)
+    }
+
     def showString(str: PStr): Unit = {
       var i = 0
       while (i < str.bytes.length) {
@@ -107,16 +116,14 @@ object PdfText {
         val x = tm(4)
         val yUp = tm(5) + rise
         out += PChar(ch, x, x + w0 * fontSize * hscale, pageHeight - yUp, fontSize)
-        tm = mul(Array(1.0, 0, 0, 1, adv, 0), tm)
+        advance(adv)
         i += 1
       }
     }
 
     def showTJ(arr: PArr): Unit = arr.v.foreach {
       case s: PStr => showString(s)
-      case PNum(k) =>
-        val adv = -k / 1000.0 * fontSize * hscale
-        tm = mul(Array(1.0, 0, 0, 1, adv, 0), tm)
+      case PNum(k) => advance(-k / 1000.0 * fontSize * hscale)
       case _ => ()
     }
 

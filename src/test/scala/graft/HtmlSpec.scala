@@ -33,6 +33,25 @@ class HtmlSpec extends AnyFunSuite {
 
   lazy val dom = HtmlParser.parse(page)
 
+  test("fused single-pass extract equals the standalone field heuristics") {
+    // extract() computes all fields in one traversal for speed; the find*
+    // methods remain the reference implementations — pin the equivalence
+    // over a diverse corpus slice so neither can drift
+    (0L until 200L).filterNot(graft.corpus.CorpusGen.isPdfDoc).foreach { id =>
+      val html = new String(graft.corpus.CorpusGen.genDoc(id)._1.html,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val root = HtmlParser.parse(html)
+      val ex = Boilerplate.extract(root)
+      assert(ex.title == Boilerplate.findTitle(root), s"title drift doc $id")
+      assert(ex.abstractText == Boilerplate.findAbstract(root), s"abstract drift doc $id")
+      assert(ex.doi == Boilerplate.findDoi(root, ex.mainText), s"doi drift doc $id")
+      assert(ex.citationSpans == Boilerplate.findCitations(root), s"citations drift doc $id")
+    }
+    val ex = Boilerplate.extract(dom)
+    assert(ex.title == Boilerplate.findTitle(dom))
+    assert(ex.citationSpans == Boilerplate.findCitations(dom))
+  }
+
   test("parser builds the tree and decodes entities") {
     val p2 = Selectors.css(dom, "main p").toList
     assert(p2.length == 2)
