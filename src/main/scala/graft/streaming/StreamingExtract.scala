@@ -89,6 +89,18 @@ object StreamingExtract {
     pages
       .withWatermark("warc_ts", "1 hour")
       .dropDuplicatesWithinWatermark("url")
+
+  /** Stream-static enrichment: LEFT join each micro-batch of scored docs
+    * against a static snapshot table (the streaming face of the batch
+    * enrichment family, SURVEY.md §2.3 row 24). Stream-static joins are
+    * stateless — the static side is (re)planned per micro-batch and the
+    * broadcast keeps it off the shuffle path, so this adds no state store
+    * and no watermark requirement. Misses stay null (the reference's
+    * None-on-miss), fillable downstream like the batch path. */
+  def enrichStream(scored: Dataset[ScoredDoc], snapshot: DataFrame): DataFrame =
+    scored.toDF()
+      .select("url", "kind", "doi", "title", "wordscore")
+      .join(broadcast(snapshot), Seq("doi"), "left")
 }
 
 /** Custom streaming state via flatMapGroupsWithState: a per-domain crawl

@@ -93,6 +93,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.agg(sum("n_bytes")).head().getLong(0) > 0)
   }
 
+  test("stream-static enrichment joins each micro-batch against the snapshot") {
+    val in = s"$tmp/enrich_in"
+    ExtractPipeline.pages(spark, 90, 3).write.parquet(in)
+    val scored = StreamingExtract.scoredStream(
+      StreamingExtract.pagesStream(spark, in),
+      CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet)
+    val snap = graft.pipeline.Enrichment.dimensionsSnapshot(spark, 90)
+    val q = StreamingExtract.enrichStream(scored, snap)
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("enrich_t")
+    assert(got.count() == 90)
+    // docs with a DOI in the snapshot got their fields; misses stay null
+    val hits = got.filter(col("internal_id").isNotNull)
+    val wantHits = got.filter(col("doi") =!= "").count()
+    assert(hits.count() == wantHits, s"${hits.count()} joined of $wantHits doi docs")
+    assert(got.filter(col("doi") === "" && col("journal_title").isNotNull).count() == 0)
+  }
+
   test("stateful streaming dedup suppresses re-crawled urls in-batch") {
     val in = s"$tmp/dup_in"
     val p = ExtractPipeline.pages(spark, 50, 2)
