@@ -27,6 +27,24 @@ object PropertySpec extends Properties("graft") {
           TextOps.calculateLikelihood(t, m, b + 1) <= s + 1e-12
     }
 
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
+    .map(_.mkString(" "))
+
+  property("DOI injected into arbitrary prose is always extracted") =
+    forAll(wordGen, Gen.chooseNum(1000, 9999), Gen.alphaNumStr.suchThat(_.nonEmpty)) {
+      (prose: String, reg: Int, suf: String) =>
+        val doi = s"10.$reg/${suf.toLowerCase}1"
+        val text = s"$prose doi: $doi $prose"
+        Identifiers.extract(text).contains(doi)
+    }
+
+  property("prose without '10.'/'arxiv'/'.pdf' markers extracts nothing") =
+    // pins the prescan guards: alpha-only prose (length > 40 so the
+    // anchored arXiv whole-string patterns can't apply) has no identifier
+    forAll(wordGen.suchThat(_.length > 40)) { prose: String =>
+      Identifiers.extract(prose).isEmpty
+    }
+
   property("float16 quantization idempotent and order-preserving") =
     forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) { (x: Double, y: Double) =>
       val qx = Float16.quantize(x)
