@@ -1212,9 +1212,52 @@ object Queries {
             FROM scored)
       WHERE rnk <= 5"""))
 
+  /** Training-set materialization: the operator COMPOSITION a real
+    * pipeline runs end-to-end — exact dedup keep-list (q13) ∩ language
+    * gate (q10) ∩ quality gate (q11) in ONE pass over the corpus. Token
+    * stats are computed once and feed every gate; the dedup keep-list is
+    * a self-aggregation joined back on (fp, doc_id), so at 100 TB the
+    * only shuffle of note is the groupBy on the 128-bit digest — document
+    * bodies never shuffle, and the filters prune before any wide output
+    * is materialized. */
+  private val q35 = Q(
+    "q35_training_set",
+    (s, dir) => {
+      val stats = t(s, dir, "documents")
+        .selectExpr("doc_id", "md5(CAST(text AS BINARY)) AS fp", s"$SparkToks AS toks")
+        .selectExpr(
+          "doc_id", "fp",
+          s"CAST(size(filter(toks, w -> w IN $EnMarkers)) AS BIGINT) AS h",
+          "CAST(size(toks) AS BIGINT) AS t",
+          "CAST(size(array_distinct(toks)) AS BIGINT) AS nd")
+        .selectExpr(
+          "doc_id", "fp", "t AS n_tokens",
+          "CAST(FLOOR(10000.0*h/t + 0.5) AS BIGINT) AS ratio_e4",
+          "CAST(FLOOR(10000.0 * LEAST(1.0, t/200.0) * (nd*1.0/t) + 0.5) AS BIGINT) AS quality_e4")
+      val keep = stats.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      stats
+        .join(keep, stats("fp") === keep("fp") && stats("doc_id") === keep("keep_id"), "left_semi")
+        .filter("ratio_e4 >= 300 AND quality_e4 >= 1000")
+        .select("doc_id", "n_tokens", "ratio_e4", "quality_e4")
+    },
+    Some(s"""WITH stats0 AS (SELECT doc_id, md5(text) AS fp, $DuckToks AS toks FROM documents),
+      stats AS (SELECT doc_id, fp,
+          CAST(len(list_filter(toks, w -> w IN $EnMarkers)) AS BIGINT) AS h,
+          CAST(len(toks) AS BIGINT) AS t,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+        FROM stats0),
+      scored AS (SELECT doc_id, fp, t AS n_tokens,
+          CAST(FLOOR(10000.0*h/t + 0.5) AS BIGINT) AS ratio_e4,
+          CAST(FLOOR(10000.0 * LEAST(1.0, t/200.0) * (nd*1.0/t) + 0.5) AS BIGINT) AS quality_e4
+        FROM stats),
+      keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM scored GROUP BY fp)
+      SELECT s.doc_id, s.n_tokens, s.ratio_e4, s.quality_e4
+      FROM scored s JOIN keep k ON s.fp = k.fp AND s.doc_id = k.keep_id
+      WHERE s.ratio_e4 >= 300 AND s.quality_e4 >= 1000"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34)
+    q31, q32, q33, q34, q35)
 }
