@@ -123,17 +123,25 @@ object Boilerplate {
     * Ties break toward the deeper (tighter) container.
     */
   def mainContainer(root: HElem): Option[HElem] = {
-    val stats = mutable.AnyRefMap.empty[HElem, Stats]
+    // candidates are gathered during the single bottom-up pass (no
+    // per-element stats map, no second traversal); preIdx preserves the
+    // original pre-order maxBy tie behavior exactly: max (leafScore,
+    // depth), first-in-pre-order among full ties
+    var best: HElem = null
+    var bestScore = 0.0
+    var bestDepth = -1
+    var bestPre = Int.MaxValue
+    var preCounter = 0
 
     def compute(e: HElem, depth: Int, inLink: Boolean): Stats = {
+      val preIdx = preCounter
+      preCounter += 1
       val s = new Stats
       s.depth = depth
-      if (DropTags.contains(e.tag)) { stats.update(e, s); return s }
-      var ownText = 0
+      if (DropTags.contains(e.tag)) return s
       e.children.foreach {
         case t: HText =>
           val len = normLen(t.data)
-          ownText += len
           s.textChars += len
           if (inLink) s.linkChars += len
         case c: HElem =>
@@ -156,18 +164,18 @@ object Boilerplate {
              s.textChars * (1.0 - linkDensity)
            else -s.textChars.toDouble)
       }
-      stats.update(e, s)
+      if ((e ne root) && ContainerTags.contains(e.tag) && s.leafScore > 0) {
+        val better = s.leafScore > bestScore ||
+          (s.leafScore == bestScore &&
+            (s.depth > bestDepth || (s.depth == bestDepth && preIdx < bestPre)))
+        if (best == null || better) {
+          best = e; bestScore = s.leafScore; bestDepth = s.depth; bestPre = preIdx
+        }
+      }
       s
     }
     compute(root, 0, inLink = false)
-
-    val candidates = root.descendants
-      .filter(e => ContainerTags.contains(e.tag))
-      .map(e => (e, stats(e)))
-      .filter(_._2.leafScore > 0)
-      .toList
-    if (candidates.isEmpty) None
-    else Some(candidates.maxBy { case (_, s) => (s.leafScore, s.depth) }._1)
+    Option(best)
   }
 
   /** Document-order normalized texts of the leaf blocks inside a

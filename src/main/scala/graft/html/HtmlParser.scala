@@ -25,10 +25,21 @@ object HtmlParser {
     "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr",
     "main", "nav", "ol", "p", "pre", "section", "table", "ul")
 
+  /** Case-insensitive close-tag search (needle starts with '<', so the
+    * scan only regionMatches at '<' positions) — avoids materializing a
+    * lowercase copy of every page just for rawtext handling. */
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val last = hay.length - needle.length
+    var i = if (from < 0) 0 else from
+    while (i <= last) {
+      if (hay.charAt(i) == '<' && hay.regionMatches(true, i, needle, 0, needle.length))
+        return i
+      i += 1
+    }
+    -1
+  }
+
   def parse(html: String): HElem = {
-    // lowercased copy computed once: rawtext close-tag search must be
-    // case-insensitive and must not re-lowercase per <script> block
-    val lower = html.toLowerCase(java.util.Locale.ROOT)
     val root = HElem("#root")
     val stack = mutable.Stack[HElem](root)
     var i = 0
@@ -85,7 +96,7 @@ object HtmlParser {
             if (RawTextTags.contains(tag)) {
               // raw text until the matching close tag, no entity decoding
               val closer = "</" + tag
-              val idx = lower.indexOf(closer, i)
+              val idx = indexOfIgnoreCase(html, closer, i)
               val stop = if (idx < 0) n else idx
               if (stop > i) elem.append(new HText(html.substring(i, stop)))
               i = if (idx < 0) n else {
