@@ -107,8 +107,8 @@ object Bench {
     val listener = new TaskTimeListener
     spark.sparkContext.addSparkListener(listener)
     var okHi = 0L
-    // median-of-5 (same discipline as the scaling legs; this VM's
-    // deliverable cycles fluctuate run to run)
+    // headline = median-of-5 in this warmed JVM (this VM's deliverable
+    // cycles fluctuate run to run)
     val headlineTimes = (1 to 5).map { _ =>
       listener.clear()
       timeSec { okHi = extractLeg(spark, pagesPath, 0) }
@@ -121,8 +121,9 @@ object Bench {
     // scaling legs: identical input + plan, two parallelism levels, each
     // leg its OWN JVM pinned to exactly N cores with taskset (GC + JIT
     // included — an in-process local[N] leg lets the JVM's 32 GC threads
-    // run free on idle cores and flatters small N). Median-of-5 per level,
-    // same discipline for both, so host noise can't tilt the ratio.
+    // run free on idle cores and flatters small N). One timed measurement
+    // per pinned JVM (after an in-JVM warmup); the published ratio is the
+    // median across three interleaved (lo, hi) pairs — see below.
     def leg(c: Int): Double = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       // same JPMS opens as build.sbt (Spark 4 on JDK 17 outside spark-submit)
@@ -154,8 +155,10 @@ object Bench {
       "LEG_SEC=([0-9.]+)".r.findFirstMatchIn(legOut)
         .map(_.group(1).toDouble)
         .getOrElse {
-          // fallback: in-process leg (taskset unavailable) — same
-          // median-of-3 discipline as the published pinned methodology
+          // fallback when taskset is absent: in-process leg, median-of-3
+          // WITHIN the leg (unpinned legs are noisier than pinned ones,
+          // so each fallback leg self-medians; the pinned path instead
+          // takes one measurement per JVM and medians across pairs)
           val s = session(c)
           extractLeg(s, warmPath, c)
           val ts = (1 to 3).map(_ => timeSec { extractLeg(s, pagesPath, 0) }).sorted

@@ -80,7 +80,7 @@ object Identifiers {
     val folded = text.toLowerCase(java.util.Locale.ROOT)
     // necessary-condition prescans (semantics-preserving): every DOI
     // pattern contains the literal `10\.`, and every arXiv pattern needs
-    // "arxiv", ".pdf", or the WHOLE input to be a short anchored id —
+    // "arxiv", ".pdf", or the WHOLE input shaped like an anchored id —
     // one indexOf beats nine regex scans over body text, and this runs
     // over the full main text of every doi-less page in the corpus
     if (folded.contains("10.")) {
@@ -92,7 +92,7 @@ object Identifiers {
         }
       }
     }
-    if (folded.contains("arxiv") || folded.contains(".pdf") || folded.length <= 40) {
+    if (folded.contains("arxiv") || folded.contains(".pdf") || anchoredIdShape(folded)) {
       ArxivPatterns.foreach { p =>
         val m = p.matcher(folded)
         if (m.find()) {
@@ -102,6 +102,21 @@ object Identifiers {
       }
     }
     None
+  }
+
+  /** Necessary condition for the two ANCHORED arXiv patterns
+    * (`^\d{4}\.\d+(v\d+)?$`): every char of the whole input is a digit,
+    * '.', 'v', or a final newline ($ matches before one). Body text has
+    * letters and exits on the first char. */
+  private def anchoredIdShape(s: String): Boolean = {
+    if (s.isEmpty) return false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!((c >= '0' && c <= '9') || c == '.' || c == 'v' || c == '\n')) return false
+      i += 1
+    }
+    true
   }
 
   /** Search-field sniff: DOI-shaped queries search by doi, everything else

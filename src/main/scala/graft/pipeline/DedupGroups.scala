@@ -67,18 +67,25 @@ object DedupGroups {
     labels
   }
 
-  /** Group summary: representative, member count, members (bounded).
+  /** Group summary: representative, exact member count, members (bounded).
     *
-    * The members list is capped at `memberCap` ids: an unbounded
-    * collect_list is the one construct here that can OOM a task at
-    * 100 TB (a mirror-farm mega-cluster holds millions of ids). The
-    * scale-safe primary output of a dedup pass is the (id, rep) label
-    * table from connectedComponents; `members` is the bounded summary
-    * view. */
-  def groups(pairs: DataFrame, memberCap: Int = 100): DataFrame =
-    connectedComponents(pairs)
+    * The members list is capped at `memberCap` ids BEFORE aggregation:
+    * rows beyond the cap are dropped by a rank filter, so the
+    * collect_list buffer itself is bounded — slicing after collect_list
+    * would still materialize a mirror-farm mega-cluster's millions of
+    * ids in one task's agg buffer (the window sort spills; an agg buffer
+    * does not). n_members stays the exact full count. The scale-safe
+    * primary output of a dedup pass remains the (id, rep) label table
+    * from connectedComponents; `members` is the bounded summary view. */
+  def groups(pairs: DataFrame, memberCap: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = connectedComponents(pairs)
+    val counts = labels.groupBy("rep").agg(count(lit(1)).as("n_members"))
+    val members = labels
+      .withColumn("rnk", row_number().over(Window.partitionBy("rep").orderBy("id")))
+      .filter(col("rnk") <= memberCap)
       .groupBy("rep")
-      .agg(
-        count(lit(1)).as("n_members"),
-        slice(sort_array(collect_list("id")), 1, memberCap).as("members"))
+      .agg(sort_array(collect_list("id")).as("members"))
+    counts.join(members, Seq("rep"))
+  }
 }

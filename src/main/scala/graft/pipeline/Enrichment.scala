@@ -94,7 +94,9 @@ object Enrichment {
     * (/root/reference/src/webscrapers.py:332-358 via :73-80). */
   def abstractSnap(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
-      .filter("doc_id % 6 = 0 AND doc_id % 4 != 1")
+      // %12 != 6 excludes every other dim-covered doc, so the abstract
+      // join has key-present MISSES (internal_id exists, abstract absent)
+      .filter("doc_id % 6 = 0 AND doc_id % 12 != 6")
       .selectExpr(
         "concat('pub.', doc_id) AS internal_id",
         """concat('{"docs":[{"abstract":"Abstract body for ', doc_id, '"}]}') AS abstract_json""")

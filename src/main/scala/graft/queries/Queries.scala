@@ -715,7 +715,8 @@ object Queries {
     * read_parquet. The relational operator (explode-with-parent; left
     * join + fillna) then gets a genuine cross-engine check while the
     * extraction itself stays gated by the byte-identical corpus tests. */
-  private val AuxDir = "/root/repo/target/verify_aux"
+  private val AuxDir =
+    new java.io.File("target/verify_aux").getAbsolutePath
 
   /** Citation-edge staging: explode each doc's citation spans carrying the
     * parent title — one Generate operator where the reference needs
@@ -1005,7 +1006,7 @@ object Queries {
         FROM documents WHERE doc_id % 6 = 3),
       abst AS (SELECT concat('pub.', doc_id) AS internal_id,
         concat('{"docs":[{"abstract":"Abstract body for ', doc_id, '"}]}') AS abstract_json
-        FROM documents WHERE doc_id % 6 = 0 AND doc_id % 4 != 1),
+        FROM documents WHERE doc_id % 6 = 0 AND doc_id % 12 != 6),
       figs AS (SELECT concat('Paper ', doc_id) AS title,
         CAST(doc_id % 4 AS BIGINT) AS n_figures,
         CASE WHEN doc_id % 4 > 0 THEN array_to_string(list_transform(generate_series(0, doc_id % 4 - 1),
@@ -1077,7 +1078,7 @@ object Queries {
     * the query fn (re)writes it on every invocation, so it exists before
     * the driver's DuckDB compare runs. */
   private object CsvFixture {
-    val path = "/root/repo/target/verify_aux/wordscore_input.csv"
+    val path = s"$AuxDir/wordscore_input.csv"
     private val pool = Vector(
       "spark", "table", "query", "join", "agg", "scan", "hash", "merge",
       "sort", "stream", "slow", "big", "small", "data", "row", "file",

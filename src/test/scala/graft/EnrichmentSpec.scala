@@ -44,13 +44,14 @@ class EnrichmentSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("abstract arrives via the docs[0].abstract JSON path") {
-    assert(full(6L).getString(8) == "Abstract body for 6")
-    // doc 18: in dim (%6==0) but filtered from the abstract snapshot (%4==1... 18%4=2 -> present)
-    assert(full(18L).getString(8) == "Abstract body for 18")
-    // doc 30: %6==0 but 30%4==2 -> present; doc 12: 12%4==0 present; doc 36: 36%4==0 present
-    // doc 24: 24%4==0 present; the %4==1 exclusions are ids like 66 (66%4=2)... use 6k with k%2 odd:
-    // ids ≡ 0 (mod 6) with id % 4 == 1: none exist (multiples of 6 are even) — exclusion uses != 1
-    // so the miss path for abstract is exercised by dim misses (internal_id null):
+    // dim-covered docs alternate: %12==0 -> abstract present, %12==6 ->
+    // key-present MISS (internal_id exists, no abstract row)
+    assert(full(12L).getString(8) == "Abstract body for 12")
+    assert(full(24L).getString(8) == "Abstract body for 24")
+    assert(full(6L).getString(5) == "pub.6") // internal_id present...
+    assert(full(6L).getString(8) == "N/A") // ...but abstract row absent
+    assert(full(18L).getString(8) == "N/A")
+    // and the no-key miss path via a dim miss:
     assert(full(3L).getString(8) == "N/A")
   }
 

@@ -43,14 +43,32 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("q34 IVF-ANN probes a fraction of the corpus yet recalls neighbors") {
+    // recompute the IVF structure in plain Scala to measure the candidate
+    // fraction the query's cell join actually touches
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong).toArray)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val cents = vecs.filter(_._1 < 16)
+    def ranked(v: Array[Long]) =
+      cents.map { case (cid, cv) => (cid, cos(v, cv)) }.sortBy { case (c, s) => (-s, c) }
+    val cellOf = vecs.map { case (id, v) => id -> ranked(v).head._1 }.toMap
+    val cellPop = cellOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    val probeCand = vecs.filter(_._1 < 100).map { case (id, v) =>
+      ranked(v).take(2).map { case (cid, _) => cellPop.getOrElse(cid, 0) }.sum
+    }
+    val avgCand = probeCand.sum.toDouble / probeCand.length
+    // nprobe=2 of k=16 cells: candidates must be a strict fraction of the
+    // 499-vector brute-force scan per probe
+    assert(avgCand < vecs.length * 0.6,
+      s"IVF prunes nothing: avg candidates $avgCand of ${vecs.length}")
     val exact = run("q16_ann_topk").filter("rnk = 1").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ivf = run("q34_ann_ivf").collect()
-    val byProbe = ivf.groupBy(_.getLong(0))
-    // nprobe=2 of k=16 cells: candidate set must be a strict fraction of
-    // the 499-vector brute-force scan per probe
-    val avgCand = byProbe.size.toDouble // top-5 only; candidate bound via cells
-    assert(avgCand > 0)
     val top1 = ivf.filter(_.getLong(2) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hits = exact.count { case (p, n) => top1.get(p).contains(n) }
     val recall = hits.toDouble / exact.size
