@@ -197,7 +197,8 @@ object CorpusGen {
   }
 
   /** Page layouts vary by docId so the classifier can't overfit one shape:
-    * main content sits in <main>, <article>, or a plain dense <div>;
+    * main content sits in <main>, <article>, a plain dense <div>, or a
+    * layout-table <td> polluted with a comment and an inline script;
     * boilerplate (nav/sidebar/footer/ads) is link-dense or short. */
   private def renderHtml(
       docId: Long,
@@ -217,10 +218,17 @@ object CorpusGen {
       s"""<li class="ref"><a href="/cited/$i">$c</a></li>"""
     }.mkString("\n")
     val body = paragraphs.map(p => s"<p>$p</p>").mkString("\n")
-    val (openMain, closeMain) = (docId % 3) match {
+    val (openMain, closeMain) = (docId % 4) match {
       case 0 => ("""<main>""", "</main>")
       case 1 => ("""<article class="post-body">""", "</article>")
-      case _ => ("""<div class="entry content-area">""", "</div>")
+      case 2 => ("""<div class="entry content-area">""", "</div>")
+      case _ =>
+        // legacy table layout: content lives in a <td> next to a
+        // link-dense menu cell; a comment and an inline script inside the
+        // content cell must not leak into the extracted text
+        ("""<table class="layout"><tr><td class="menu-cell"><p><a href="/m/1">menu one</a></p><p><a href="/m/2">menu two</a></p></td>
+<td class="entry-cell"><!-- layout: legacy --><script>render("cell", "<p>");</script>""",
+         "</td></tr></table>")
     }
     val doiMeta = doi.map(d => s"""<meta name="citation_doi" content="$d">""").getOrElse("")
     val doiSpan = doi.map(d => s"""<p class="doi-line">DOI: <span class="doi">$d</span></p>""").getOrElse("")

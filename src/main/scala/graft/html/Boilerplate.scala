@@ -28,7 +28,7 @@ object Boilerplate {
 
   private val BlockTags = Set(
     "p", "div", "article", "main", "section", "h1", "h2", "h3", "h4", "h5",
-    "h6", "li", "ul", "ol", "blockquote", "pre", "td", "th", "table",
+    "h6", "li", "ul", "ol", "blockquote", "pre", "td", "th", "table", "tr",
     "header", "footer", "nav", "aside", "body", "figcaption", "dd", "dt")
 
   private val DropTags = Set(
@@ -178,6 +178,21 @@ object Boilerplate {
     Option(best)
   }
 
+  /** Normalized text of an element SKIPPING DropTags subtrees — the leaf
+    * emission form: a leaf block polluted by an inline script/style must
+    * not leak code into the extracted text. Same whitespace collapse as
+    * HElem.normalizedText. */
+  private def contentText(e: HElem): String = {
+    val sb = new java.lang.StringBuilder
+    def walk(n: HNode): Unit = n match {
+      case t: HText  => sb.append(t.data).append(' ')
+      case el: HElem => if (!DropTags.contains(el.tag)) el.children.foreach(walk)
+      case _         => ()
+    }
+    e.children.foreach(walk)
+    HElem.collapseWs(sb)
+  }
+
   /** Document-order normalized texts of the leaf blocks inside a
     * container (the paragraphs of the main content). */
   def blockTexts(container: HElem): List[String] = {
@@ -187,7 +202,7 @@ object Boilerplate {
       val childBlocks = e.elemChildren.filter(c => BlockTags.contains(c.tag))
       val isLeaf = BlockTags.contains(e.tag) && childBlocks.isEmpty
       if (isLeaf) {
-        val t = e.normalizedText
+        val t = contentText(e)
         if (t.nonEmpty) out += t
       } else {
         e.elemChildren.foreach(walk)
@@ -195,7 +210,7 @@ object Boilerplate {
     }
     val selfBlocks = container.elemChildren.filter(c => BlockTags.contains(c.tag))
     if (selfBlocks.isEmpty) {
-      val t = container.normalizedText
+      val t = contentText(container)
       if (t.nonEmpty) out += t
     } else container.elemChildren.foreach(walk)
     out.toList

@@ -92,6 +92,17 @@ final class HElem(
       case _        => ()
     }
     children.foreach(walk)
+    HElem.collapseWs(sb)
+  }
+}
+
+object HElem {
+  private[html] val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Collapse runs of Java-regex \s chars to single spaces and trim both
+    * ends — byte-identical to split("\\s+").filter(_.nonEmpty)
+    * .mkString(" ") without the per-call Pattern compile. */
+  private[html] def collapseWs(sb: CharSequence): String = {
     val out = new java.lang.StringBuilder(sb.length)
     var pendingSpace = false
     var i = 0
@@ -107,10 +118,7 @@ final class HElem(
     }
     out.toString
   }
-}
 
-object HElem {
-  private[html] val Ws = java.util.regex.Pattern.compile("\\s+")
   def apply(tag: String, attrs: Map[String, String] = Map.empty): HElem =
     new HElem(tag, attrs)
 }
