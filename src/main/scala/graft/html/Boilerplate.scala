@@ -74,7 +74,7 @@ object Boilerplate {
       if (firstAbstract == null && hasMarker && markerSp.contains("abstract") && BlockTags.contains(e.tag))
         firstAbstract = e
       if (!doiMetaSeen && e.tag == "meta" &&
-          e.attr("name").exists(n => n == "citation_doi" || n == "dc.identifier")) {
+          e.attr("name").exists(n => n.equalsIgnoreCase("citation_doi") || n.equalsIgnoreCase("dc.identifier"))) {
         doiMetaSeen = true
         doiMetaContent = e.attr("content")
       }
@@ -256,7 +256,7 @@ object Boilerplate {
   def findDoi(root: HElem, mainText: String): Option[String] = {
     val meta = root.descendants.find(e =>
       e.tag == "meta" &&
-        e.attr("name").exists(n => n == "citation_doi" || n == "dc.identifier"))
+        e.attr("name").exists(n => n.equalsIgnoreCase("citation_doi") || n.equalsIgnoreCase("dc.identifier")))
       .flatMap(_.attr("content"))
     meta.flatMap(c => Identifiers.extract(c))
       .orElse {

@@ -27,13 +27,19 @@ object HtmlParser {
 
   /** Case-insensitive close-tag search (needle starts with '<', so the
     * scan only regionMatches at '<' positions) — avoids materializing a
-    * lowercase copy of every page just for rawtext handling. */
-  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    * lowercase copy of every page just for rawtext handling. A match must
+    * be followed by '>', '/', whitespace, or end-of-input so `</script`
+    * does not terminate at `</scripted>`. */
+  private def indexOfCloser(hay: String, needle: String, from: Int): Int = {
     val last = hay.length - needle.length
     var i = if (from < 0) 0 else from
     while (i <= last) {
-      if (hay.charAt(i) == '<' && hay.regionMatches(true, i, needle, 0, needle.length))
-        return i
+      if (hay.charAt(i) == '<' && hay.regionMatches(true, i, needle, 0, needle.length)) {
+        val after = i + needle.length
+        if (after >= hay.length || hay.charAt(after) == '>' ||
+            hay.charAt(after) == '/' || hay.charAt(after).isWhitespace)
+          return i
+      }
       i += 1
     }
     -1
@@ -94,18 +100,30 @@ object HtmlParser {
           stack.top.append(elem)
           if (!selfClosed && !VoidTags.contains(tag)) {
             if (RawTextTags.contains(tag)) {
-              // raw text until the matching close tag, no entity decoding
+              // raw text until the matching close tag. script/style are
+              // RAWTEXT (no entity decoding); title/textarea are RCDATA —
+              // character references DO decode there per HTML5, and the
+              // title field heuristic reads this text
               val closer = "</" + tag
-              val idx = indexOfIgnoreCase(html, closer, i)
+              val idx = indexOfCloser(html, closer, i)
               val stop = if (idx < 0) n else idx
-              if (stop > i) elem.append(new HText(html.substring(i, stop)))
+              if (stop > i) {
+                val raw = html.substring(i, stop)
+                val textVal =
+                  if (tag == "script" || tag == "style") raw
+                  else Entities.decode(raw)
+                elem.append(new HText(textVal))
+              }
               i = if (idx < 0) n else {
                 val gt = html.indexOf('>', idx)
                 if (gt < 0) n else gt + 1
               }
-            } else {
+            } else if (stack.size < 2048) {
               stack.push(elem)
             }
+            // depth cap: beyond 2048 open elements (never reached by real
+            // pages) children attach to the current top instead of
+            // nesting deeper, so downstream recursive walks stay bounded
           }
         } else {
           text.append(c); i += 1

@@ -11,6 +11,10 @@ import java.util.zip.Inflater
   */
 final class PdfDoc(data: Array[Byte]) {
 
+  // one latin-1 view of the bytes, shared by scanObjects and findTrailer
+  // (each was allocating its own 2x-size char[] per document)
+  private val dataStr = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+
   val objects: Map[(Int, Int), PObj] = {
     val top = scanObjects()
     top ++ expandObjectStreams(top)
@@ -22,13 +26,22 @@ final class PdfDoc(data: Array[Byte]) {
     * at /First. Needed for real-world fixtures like
     * /root/reference/tests/test_dirs/test_pdf_1.pdf. */
   private def expandObjectStreams(top: Map[(Int, Int), PObj]): Map[(Int, Int), PObj] = {
+    // this runs INSIDE the `objects` initializer, so resolution must go
+    // through `top`, never this.objects (still null here) — /Filter, /N
+    // and /First are all legal as indirect references
+    def resolveTop(o: PObj, depth: Int = 0): PObj = o match {
+      case PRef(num, gen) =>
+        if (depth >= 64) PNull
+        else top.get((num, gen)).map(resolveTop(_, depth + 1)).getOrElse(PNull)
+      case other => other
+    }
     val out = mutable.LinkedHashMap.empty[(Int, Int), PObj]
     top.values.foreach {
       case st @ PStream(dict, _) if dict.get("Type").contains(PName("ObjStm")) =>
         try {
-          val bytes = decodeStream(st)
-          val n = dict.get("N") match { case Some(PNum(v)) => v.toInt; case _ => 0 }
-          val first = dict.get("First") match { case Some(PNum(v)) => v.toInt; case _ => 0 }
+          val bytes = decodeStreamUsing(st, resolveTop(_))
+          val n = resolveTop(dict.get("N").getOrElse(PNull)) match { case PNum(v) => v.toInt; case _ => 0 }
+          val first = resolveTop(dict.get("First").getOrElse(PNull)) match { case PNum(v) => v.toInt; case _ => 0 }
           val header = new PdfLexer(bytes, 0)
           val pairs = (0 until n).map { _ =>
             val num = header.parseNumber().toInt
@@ -49,13 +62,18 @@ final class PdfDoc(data: Array[Byte]) {
 
   private def scanObjects(): Map[(Int, Int), PObj] = {
     val out = mutable.LinkedHashMap.empty[(Int, Int), PObj]
-    val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val s = dataStr
     val objPat = java.util.regex.Pattern.compile("(?m)(\\d+)\\s+(\\d+)\\s+obj\\b")
     val m = objPat.matcher(s)
-    while (m.find()) {
+    // resume AFTER each successfully parsed object (stream payloads can
+    // contain byte runs that spell "N G obj"; scanning through them would
+    // let junk pseudo-objects overwrite the real object with that id)
+    var searchFrom = 0
+    while (searchFrom < s.length && m.find(searchFrom)) {
       val num = m.group(1).toInt
       val gen = m.group(2).toInt
       val lexer = new PdfLexer(data, m.end())
+      searchFrom = m.end()
       try {
         val value = lexer.parseObj()
         lexer.skipWs()
@@ -87,8 +105,12 @@ final class PdfDoc(data: Array[Byte]) {
                   e
                 }
             }
+            searchFrom = end
             PStream(dict, java.util.Arrays.copyOfRange(data, p, end))
-          } else value
+          } else {
+            searchFrom = lexer.pos
+            value
+          }
         out.update((num, gen), obj)
       } catch { case _: Exception => () } // tolerate junk between objects
     }
@@ -96,7 +118,7 @@ final class PdfDoc(data: Array[Byte]) {
   }
 
   private def findTrailer(): Option[PDict] = {
-    val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val s = dataStr
     var idx = s.lastIndexOf("trailer")
     while (idx >= 0) {
       try {
@@ -110,9 +132,17 @@ final class PdfDoc(data: Array[Byte]) {
     }
   }
 
-  def resolve(o: PObj): PObj = o match {
-    case PRef(num, gen) => objects.get((num, gen)).map(resolve).getOrElse(PNull)
-    case other          => other
+  /** Bounded indirect-reference resolution: a circular ref chain (legal
+    * to construct, seen in corrupt files) degrades to PNull instead of a
+    * StackOverflowError — an Error would escape the pipeline's exception
+    * handling and kill the task. */
+  def resolve(o: PObj): PObj = resolveBounded(o, 0)
+
+  private def resolveBounded(o: PObj, depth: Int): PObj = o match {
+    case PRef(num, gen) =>
+      if (depth >= 64) PNull
+      else objects.get((num, gen)).map(resolveBounded(_, depth + 1)).getOrElse(PNull)
+    case other => other
   }
 
   def resolveDict(o: PObj): Option[PDict] = resolve(o) match {
@@ -161,7 +191,10 @@ final class PdfDoc(data: Array[Byte]) {
     val rootPages = catalog.flatMap(_.get("Pages")).flatMap(resolveDict)
 
     val out = mutable.ListBuffer.empty[Page]
-    def walk(node: PDict, inhRes: Option[PDict], inhBox: Option[Array[Double]]): Unit = {
+    // depth-bounded: a Kids entry referencing itself or an ancestor (cyclic
+    // page tree in a corrupt file) must not recurse unboundedly
+    def walk(node: PDict, inhRes: Option[PDict], inhBox: Option[Array[Double]], depth: Int): Unit = {
+      if (depth >= 64) return
       val res = node.get("Resources").flatMap(resolveDict).orElse(inhRes)
       val box = node.get("MediaBox").map(resolve) match {
         case Some(PArr(xs)) if xs.length == 4 =>
@@ -172,7 +205,7 @@ final class PdfDoc(data: Array[Byte]) {
         case PName("Pages") =>
           node.get("Kids").map(resolve) match {
             case Some(PArr(kids)) =>
-              kids.foreach(k => resolveDict(k).foreach(walk(_, res, box)))
+              kids.foreach(k => resolveDict(k).foreach(walk(_, res, box, depth + 1)))
             case _ => ()
           }
         case PName("Page") =>
@@ -180,12 +213,12 @@ final class PdfDoc(data: Array[Byte]) {
         case _ => ()
       }
     }
-    rootPages.foreach(walk(_, None, None))
+    rootPages.foreach(walk(_, None, None, 0))
     if (out.isEmpty) {
       // fallback: collect raw Page objects in file order
       objects.values.foreach {
         case d: PDict if d.get("Type").contains(PName("Page")) =>
-          walk(d, None, None)
+          walk(d, None, None, 0)
         case _ => ()
       }
     }
@@ -216,8 +249,10 @@ final class PdfDoc(data: Array[Byte]) {
     }
   }
 
-  def decodeStream(st: PStream): Array[Byte] = {
-    val filters: List[String] = st.dict.get("Filter").map(resolve) match {
+  def decodeStream(st: PStream): Array[Byte] = decodeStreamUsing(st, resolve)
+
+  private def decodeStreamUsing(st: PStream, res: PObj => PObj): Array[Byte] = {
+    val filters: List[String] = st.dict.get("Filter").map(res) match {
       case Some(PName(nm)) => List(nm)
       case Some(PArr(xs))  => xs.collect { case PName(nm) => nm }.toList
       case _               => Nil
@@ -238,16 +273,20 @@ final class PdfDoc(data: Array[Byte]) {
   private def inflate(bytes: Array[Byte]): Array[Byte] = {
     def run(nowrap: Boolean): Array[Byte] = {
       val inf = new Inflater(nowrap)
-      inf.setInput(bytes)
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-      val buf = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsInput()) {
-        val k = inf.inflate(buf)
-        if (k == 0 && !inf.finished()) return out.toByteArray
-        out.write(buf, 0, k)
-      }
-      inf.end()
-      out.toByteArray
+      // finally: the stalemate early-return and DataFormatException paths
+      // must also release the native zlib state — leaking one Inflater per
+      // bad stream is native memory pressure the heap never sees
+      try {
+        inf.setInput(bytes)
+        val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished() && !inf.needsInput()) {
+          val k = inf.inflate(buf)
+          if (k == 0 && !inf.finished()) return out.toByteArray
+          out.write(buf, 0, k)
+        }
+        out.toByteArray
+      } finally inf.end()
     }
     try {
       val r = run(nowrap = false)

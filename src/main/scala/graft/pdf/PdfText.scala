@@ -165,11 +165,14 @@ object PdfText {
                   tlm = s; tm = s.clone()
                 }
               case "T*" => translate(0, -leading)
-              case "TL" => leading = num(stack.last)
-              case "Tc" => charSpacing = num(stack.last)
-              case "Tw" => wordSpacing = num(stack.last)
-              case "Tz" => hscale = num(stack.last) / 100.0
-              case "Ts" => rise = num(stack.last)
+              // lastOption: a malformed operator with no operand (e.g.
+              // unsupported inline-image bytes tokenizing as keywords)
+              // must not throw and lose the whole document's text
+              case "TL" => stack.lastOption.foreach(o => leading = num(o))
+              case "Tc" => stack.lastOption.foreach(o => charSpacing = num(o))
+              case "Tw" => stack.lastOption.foreach(o => wordSpacing = num(o))
+              case "Tz" => stack.lastOption.foreach(o => hscale = num(o) / 100.0)
+              case "Ts" => stack.lastOption.foreach(o => rise = num(o))
               case "Tj" =>
                 stack.lastOption.foreach { case s: PStr => showString(s); case _ => () }
               case "TJ" =>

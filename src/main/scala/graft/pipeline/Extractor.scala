@@ -25,7 +25,12 @@ object Extractor {
       if (PdfDoc.isPdf(page.html)) extractPdf(page, nBytes)
       else extractHtml(page, nBytes)
     } catch {
-      case e: Exception =>
+      // StackOverflowError is an Error, not an Exception: an adversarial
+      // deeply-recursive document would otherwise escape this handler and
+      // kill the Spark task instead of becoming an ok=false row. The
+      // stack is fully unwound by the time we are here, so recovering is
+      // safe; genuinely fatal errors (OOM, interrupts) still propagate.
+      case e @ (_: Exception | _: StackOverflowError) =>
         ExtractedDoc(page.url, "err", "", "", "", "", Nil, nBytes, ok = false,
           error = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
     }

@@ -52,6 +52,38 @@ class HtmlSpec extends AnyFunSuite {
     assert(ex.citationSpans == Boilerplate.findCitations(dom))
   }
 
+  test("title is RCDATA: entities decode; script/style stay raw") {
+    val d = HtmlParser.parse(
+      "<html><head><title>Fish &amp; Chips &#8211; Review</title></head><body><p>x</p></body></html>")
+    assert(Boilerplate.findTitle(d).contains("Fish & Chips – Review"))
+    val s = HtmlParser.parse("<body><script>a &amp; b</script><p>t</p></body>")
+    assert(Selectors.cssFirst(s, "script").get.text() == "a &amp; b")
+  }
+
+  test("rawtext close-tag must be a real closer (no prefix match)") {
+    val d = HtmlParser.parse(
+      """<body><script>var s="</scriptend>";</script><p>after</p></body>""")
+    val ex = Boilerplate.extract(d)
+    assert(!ex.mainText.contains("scriptend"))
+    val t = HtmlParser.parse("<head><title>a</titleX>b</title></head><body><p>c</p></body>")
+    assert(Boilerplate.findTitle(t).contains("a</titleX>b"))
+  }
+
+  test("pathologically deep nesting degrades gracefully, never kills the task") {
+    val deep = "<body>" + "<div>" * 100000 + "content here that is long enough to score" +
+      "</div>" * 100000 + "</body>"
+    val page = graft.model.PageRecord("https://x.example/deep",
+      new java.sql.Timestamp(0), deep.getBytes("UTF-8"), "", "en")
+    val doc = graft.pipeline.Extractor.extract(page) // must not throw (Error included)
+    assert(doc.url == "https://x.example/deep")
+  }
+
+  test("DOI meta matches Dublin Core capitalization variants") {
+    val d = HtmlParser.parse(
+      """<head><meta name="DC.Identifier" content="10.1234/abc.1"></head><body><p>x</p></body>""")
+    assert(Boilerplate.extract(d).doi.contains("10.1234/abc.1"))
+  }
+
   test("parser builds the tree and decodes entities") {
     val p2 = Selectors.css(dom, "main p").toList
     assert(p2.length == 2)

@@ -15,6 +15,40 @@ class PdfSpec extends AnyFunSuite {
       "Second page content begins here.",
       "It continues with more words.")))
 
+  test("circular indirect references degrade to null, never overflow") {
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj\n2 0 R\nendobj\n" +
+      "2 0 obj\n1 0 R\nendobj\n" +
+      "trailer\n<< /Root 1 0 R /Info 2 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    val doc = new graft.pdf.PdfDoc(bytes) // must not StackOverflow
+    assert(doc.pages.isEmpty)
+    assert(doc.metadata.isEmpty)
+  }
+
+  test("cyclic page tree is depth-bounded") {
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >> endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    val doc = new graft.pdf.PdfDoc(bytes)
+    assert(doc.pages.nonEmpty) // the real page still surfaces
+    assert(doc.pages.length <= 64 * 2)
+  }
+
+  test("malformed text operator with no operand loses nothing but itself") {
+    val content = "TL\nBT /F1 12 Tf 72 700 Td (hi) Tj ET"
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Courier >> endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(graft.pdf.PdfText.extractText(bytes) == "hi")
+  }
+
   test("writer -> parser round trip is byte-identical (uncompressed)") {
     val bytes = PdfWriter.build(pages, Map("Title" -> "A Study", "doi" -> "10.4242/test.001"))
     assert(PdfDoc.isPdf(bytes))
