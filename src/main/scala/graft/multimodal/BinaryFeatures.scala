@@ -26,9 +26,14 @@ object BinaryFeatures {
       frame_offsets: Seq[Long], // evenly spaced "frame sample" positions
       stub_embedding: Seq[Long]) // STUB decode output (deterministic fake)
 
-  /** Magic-byte sniffing — the only honest part of "decode". */
+  /** Magic-byte sniffing — the only honest part of "decode". "empty"
+    * means zero bytes; a 1-3 byte payload is real (if tiny) content and
+    * sniffs as html/bin, never "empty". */
   def sniffFormat(bytes: Array[Byte]): String = {
-    if (bytes == null || bytes.length < 4) "empty"
+    if (bytes == null || bytes.length == 0) "empty"
+    else if (bytes.length < 4) {
+      if (bytes(0) == '<') "html" else "bin"
+    }
     else if (bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F') "pdf"
     else if (bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
     else if (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"

@@ -35,8 +35,10 @@ object Scholar {
     "b" -> "source: books",
     "c" -> "source: conferences")
 
-  /** reference webscrapers.py:112 — pages of 10, at least one. */
-  def numPages(numArticles: Int): Int = (numArticles - 1) / 10 + 1
+  /** reference webscrapers.py:112 — Python FLOOR division: Scala's `/`
+    * truncates toward zero, which would turn num_articles = 0 into one
+    * fetched page instead of none. */
+  def numPages(numArticles: Int): Int = Math.floorDiv(numArticles - 1, 10) + 1
 
   // Snapshot synthesis is pure integer->string arithmetic so the DuckDB
   // oracle can regenerate the identical table from generate_series (the

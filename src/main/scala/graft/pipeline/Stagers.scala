@@ -53,7 +53,10 @@ object Stagers {
       spark.createDataFrame(rdd,
         schema.add("_zip_idx", org.apache.spark.sql.types.LongType))
     }
-    indexed(a).join(indexed(b), Seq("_zip_idx")).drop("_zip_idx")
+    // LEFT join: pandas' RangeIndex a.join(b) keeps every left row and
+    // NaN-fills when b is shorter — an inner join would silently drop
+    // the trailing left rows
+    indexed(a).join(indexed(b), Seq("_zip_idx"), "left").drop("_zip_idx")
   }
 
   /** Explode an array column carrying a parent column — the reference

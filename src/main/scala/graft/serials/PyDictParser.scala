@@ -14,11 +14,18 @@ object PyDictParser {
 
   sealed trait PyVal
   final case class PyStr(v: String) extends PyVal
-  final case class PyNum(v: Double) extends PyVal
+  final case class PyInt(v: BigInt) extends PyVal
+  final case class PyFloat(v: Double) extends PyVal
   final case class PyBool(v: Boolean) extends PyVal
   case object PyNone extends PyVal
   final case class PyList(v: List[PyVal]) extends PyVal
-  final case class PyDict(v: Map[String, PyVal]) extends PyVal
+  /** Entries kept in INSERTION order (Python dicts are ordered; a Map
+    * would hash-scramble str() output for dicts with >4 keys). Duplicate
+    * keys keep the first position with the last value, like Python. */
+  final case class PyDict(v: Vector[(String, PyVal)]) extends PyVal {
+    def get(key: String): Option[PyVal] =
+      v.collectFirst { case (k, x) if k == key => x }
+  }
 
   /** Parse a full literal; None on any syntax error (the reference would
     * raise inside eval; callers treat the cell as opaque then). */
@@ -38,15 +45,24 @@ object PyDictParser {
   def extractKey(cell: String, key: String): String = {
     if (cell == null || !cell.startsWith("{")) return cell
     parse(cell) match {
-      case Some(PyDict(m)) => m.get(key).map(render).getOrElse("")
+      case Some(d: PyDict) => d.get(key).map(render(_)).getOrElse("")
       case _               => cell // unparsable dict-ish cell passes through
     }
   }
 
-  /** Python str() of the supported values (what lands in the dataframe). */
+  /** Python str() of the supported values (what lands in the dataframe).
+    * Ints render exactly (BigInt, no double round-trip); floats keep the
+    * ".0" Python shows for integral values (str(1.0) == "1.0"). Extreme
+    * exponents may format as 1.0E20 vs Python's 1e+20 — out of scope for
+    * bibliographic cells. */
   def render(v: PyVal): String = v match {
     case PyStr(s)   => s
-    case PyNum(d)   => if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+    case PyInt(n)   => n.toString
+    case PyFloat(d) =>
+      if (d.isNaN) "nan"
+      else if (d.isInfinity) { if (d > 0) "inf" else "-inf" }
+      else if (d == math.floor(d) && math.abs(d) < 1e16) s"${d.toLong}.0"
+      else d.toString
     case PyBool(b)  => if (b) "True" else "False"
     case PyNone     => "None"
     case PyList(xs) => xs.map(repr).mkString("[", ", ", "]")
@@ -90,7 +106,7 @@ object PyDictParser {
     private def dict(): PyDict = {
       expect('{'); ws()
       val m = scala.collection.mutable.LinkedHashMap.empty[String, PyVal]
-      if (peek == '}') { next(); return PyDict(m.toMap) }
+      if (peek == '}') { next(); return PyDict(m.toVector) }
       var done = false
       while (!done) {
         ws()
@@ -105,7 +121,7 @@ object PyDictParser {
           case _   => throw new ParseError
         }
       }
-      PyDict(m.toMap)
+      PyDict(m.toVector)
     }
 
     private def list(): PyList = {
@@ -139,9 +155,24 @@ object PyDictParser {
               case 'n'  => sb += '\n'
               case 't'  => sb += '\t'
               case 'r'  => sb += '\r'
+              case 'a'  => sb += '\u0007'
+              case 'b'  => sb += '\b'
+              case 'f'  => sb += '\f'
+              case 'v'  => sb += '\u000B'
               case '\\' => sb += '\\'
               case '\'' => sb += '\''
               case '"'  => sb += '"'
+              case 'x'  => sb += hexEscape(2).toChar
+              case 'u'  => sb += hexEscape(4).toChar
+              case 'U'  => sb.appendAll(Character.toChars(hexEscape(8)))
+              case c if c >= '0' && c <= '7' =>
+                // octal, up to 3 digits including the first
+                var code = c - '0'
+                var k = 0
+                while (k < 2 && !eof && peek >= '0' && peek <= '7') {
+                  code = code * 8 + (next() - '0'); k += 1
+                }
+                sb += code.toChar
               case c    => sb += '\\' += c // Python keeps unknown escapes
             }
           case c => sb += c
@@ -150,15 +181,35 @@ object PyDictParser {
       sb.toString
     }
 
-    private def num(): PyNum = {
+    private def hexEscape(nDigits: Int): Int = {
+      var code = 0
+      var k = 0
+      while (k < nDigits) {
+        val c = next()
+        val d = Character.digit(c, 16)
+        if (d < 0) throw new ParseError
+        code = code * 16 + d
+        k += 1
+      }
+      code
+    }
+
+    private def num(): PyVal = {
       val start = i
       if (peek == '-' || peek == '+') i += 1
+      var isFloat = false
       while (!eof && (peek.isDigit || peek == '.' || peek == 'e' || peek == 'E' ||
-             ((peek == '-' || peek == '+') && (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E'))))
+             ((peek == '-' || peek == '+') && (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')))) {
+        if (peek == '.' || peek == 'e' || peek == 'E') isFloat = true
         i += 1
+      }
       if (i == start) throw new ParseError
-      try PyNum(s.substring(start, i).toDouble)
-      catch { case _: NumberFormatException => throw new ParseError }
+      val text = s.substring(start, i)
+      try {
+        // int literals stay exact (Python ints are arbitrary precision;
+        // a Double round-trip would corrupt ids beyond 2^53)
+        if (isFloat) PyFloat(text.toDouble) else PyInt(BigInt(text))
+      } catch { case _: NumberFormatException => throw new ParseError }
     }
   }
 }

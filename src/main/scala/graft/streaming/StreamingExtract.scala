@@ -124,14 +124,6 @@ object DomainState {
   import org.apache.spark.sql.{Dataset, DataFrame}
   import graft.model.PageRecord
 
-  def domainOf(url: String): String = {
-    val noScheme = url.indexOf("://") match {
-      case -1 => url
-      case i  => url.substring(i + 3)
-    }
-    noScheme.takeWhile(c => c != '/' && c != ':' && c != '?')
-  }
-
   private def update(
       domain: String,
       rows: Iterator[(String, Long, java.sql.Timestamp)],

@@ -18,8 +18,12 @@ import graft.pipeline.{ExtractPipeline, Extractor}
   * A killed job resumes by re-reading lineage: completed buckets are
   * excluded with `left_anti`, so no page is re-parsed (north rule:
   * checkpoint-resumable with per-partition lineage + metrics).
-  * The wave is the atomic commit unit: data is written before the
-  * lineage append, so a crash mid-wave re-processes only that wave.
+  * The wave is the atomic commit unit: data lands before the lineage
+  * append, and the lineage row IS the commit — on resume, bucket data
+  * with no lineage row is an uncommitted orphan and is deleted before
+  * the wave re-runs, so a crash mid-wave re-processes only that wave
+  * and never duplicates rows. All path probes go through the root's
+  * Hadoop FileSystem (works on HDFS/S3, not just local disk).
   */
 object GraftTable {
 
@@ -36,9 +40,17 @@ object GraftTable {
   def bucketOf(urlCol: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(urlCol), lit(nBuckets)).cast("int")
 
+  /** All filesystem probes/mutations go through the Hadoop FileSystem of
+    * the table root — java.io.File is only correct on the local FS and
+    * would silently report "nothing committed" on HDFS/S3, restarting a
+    * 100 TB run from scratch and appending duplicates. */
+  private def fs(spark: SparkSession, root: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def completedBuckets(spark: SparkSession, root: String): Set[Int] = {
     val lineagePath = s"$root/lineage"
-    if (!new java.io.File(lineagePath).exists()) Set.empty
+    if (!fs(spark, root).exists(new org.apache.hadoop.fs.Path(lineagePath))) Set.empty
     else {
       import spark.implicits._
       spark.read.parquet(lineagePath).select("bucket").as[Int].collect().toSet
@@ -66,6 +78,18 @@ object GraftTable {
     val done = completedBuckets(spark, root)
     val all = (0 until nBuckets).toSet
     val remaining = (all -- done).toList.sorted
+
+    // crash-consistency: data is appended BEFORE the lineage row, so a
+    // crash between the two writes leaves orphaned bucket data with no
+    // lineage entry. Any data under a bucket we are about to (re)process
+    // is such an orphan — delete it first, making the wave re-run
+    // idempotent instead of append-duplicating. This is the wave
+    // "commit": lineage row present = data valid; absent = data garbage.
+    val hfs = fs(spark, root)
+    remaining.foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/data/bucket=$b")
+      if (hfs.exists(p)) hfs.delete(p, true)
+    }
 
     // the anti-join gate itself, expressed relationally (north rule asks
     // for it explicitly): input rows whose bucket is already complete are
@@ -125,7 +149,7 @@ object GraftTable {
       val waveMs = System.currentTimeMillis() - waveT0
       val ts = new java.sql.Timestamp(System.currentTimeMillis())
       val wavePaths = wave.map(b => s"$root/data/bucket=$b")
-        .filter(p => new java.io.File(p).exists())
+        .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p)))
       val metrics = (if (wavePaths.isEmpty)
           spark.emptyDataset[ScoredDocWithBucket].toDF.select(col("bucket"), col("doc.*"))
         else spark.read.option("basePath", s"$root/data").parquet(wavePaths: _*))
@@ -148,7 +172,7 @@ object GraftTable {
       val lineage = (metrics.toSeq ++ empty).toDS()
       lineage.coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/lineage")
 
-      writeSnapshot(root, waveIdx, wave, metrics.map(m => (m.bucket, m.n_docs)))
+      writeSnapshot(hfs, root, waveIdx, wave, metrics.map(m => (m.bucket, m.n_docs)))
       processed += wave.size
       totalDocs += metrics.map(_.n_docs).sum
       totalOk += metrics.map(_.n_ok).sum
@@ -168,18 +192,22 @@ object GraftTable {
   }
 
   private def writeSnapshot(
+      hfs: org.apache.hadoop.fs.FileSystem,
       root: String, waveIdx: Int, buckets: Seq[Int], counts: Seq[(Int, Long)]): Unit = {
-    val dir = new java.io.File(s"$root/manifest")
-    dir.mkdirs()
-    val existing = Option(dir.list()).map(_.count(_.startsWith("snapshot-"))).getOrElse(0)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/manifest")
+    hfs.mkdirs(dir)
+    val existing = scala.util.Try(
+      hfs.listStatus(dir).count(_.getPath.getName.startsWith("snapshot-"))).getOrElse(0)
     val json =
       s"""{"snapshot_id": ${existing + 1},
          |"wave": $waveIdx,
          |"buckets": [${buckets.mkString(",")}],
          |"bucket_docs": {${counts.map { case (b, n) => s""""$b": $n""" }.mkString(",")}},
          |"schema_id": 1}""".stripMargin
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$root/manifest/snapshot-${existing + 1}.json"), json)
+    val out = hfs.create(
+      new org.apache.hadoop.fs.Path(s"$root/manifest/snapshot-${existing + 1}.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }
 

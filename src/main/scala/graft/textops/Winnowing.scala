@@ -62,7 +62,13 @@ object Winnowing {
       var best = start
       var i = start + 1
       while (i < start + w) { if (hs(i) <= hs(best)) best = i; i += 1 }
-      if (best != lastPicked) {
+      // robust winnowing (paper §5): if the previous pick is still inside
+      // the window and TIES the minimum, keep it — without this retention
+      // a constant run emits one fingerprint per slide (rightmost min
+      // moves every window) instead of ~1/w density, and exactly the
+      // spammy repetitive pages dedup targets blow up their posting lists
+      val keepPrevious = lastPicked >= start && hs(lastPicked) == hs(best)
+      if (!keepPrevious && best != lastPicked) {
         out += ((best, hs(best)))
         lastPicked = best
       }

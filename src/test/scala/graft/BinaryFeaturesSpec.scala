@@ -11,7 +11,11 @@ class BinaryFeaturesSpec extends AnyFunSuite with SparkTestBase {
     assert(BinaryFeatures.sniffFormat("<!DOCTYPE html><html>".getBytes) == "html")
     assert(BinaryFeatures.sniffFormat(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)) == "png")
     assert(BinaryFeatures.sniffFormat(Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)) == "jpeg")
-    assert(BinaryFeatures.sniffFormat(Array[Byte](1, 2)) == "empty")
+    // tiny payloads are real content, never "empty"
+    assert(BinaryFeatures.sniffFormat(Array[Byte](1, 2)) == "bin")
+    assert(BinaryFeatures.sniffFormat("<a".getBytes) == "html")
+    assert(BinaryFeatures.sniffFormat(Array.emptyByteArray) == "empty")
+    assert(BinaryFeatures.sniffFormat(null) == "empty")
   }
 
   test("entropy: uniform bytes -> 8 bits, constant bytes -> 0") {

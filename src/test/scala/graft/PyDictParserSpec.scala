@@ -37,4 +37,22 @@ class PyDictParserSpec extends AnyFunSuite {
     assert(PyDictParser.parse("{'trailing': 1,}").isDefined)
     assert(PyDictParser.parse("{bad}") == None)
   }
+
+  test("Python str() fidelity: dict order, float .0, exact ints, escapes") {
+    // insertion order survives >4 keys (a hash Map would scramble str())
+    assert(PyDictParser.extractKey(
+      "{'a': {'k1': 1, 'k2': 2, 'k3': 3, 'k4': 4, 'k5': 5}}", "a") ==
+      "{'k1': 1, 'k2': 2, 'k3': 3, 'k4': 4, 'k5': 5}")
+    // str(1.0) keeps the .0; str(1) does not
+    assert(PyDictParser.extractKey("{'score': 1.0}", "score") == "1.0")
+    assert(PyDictParser.extractKey("{'score': 1}", "score") == "1")
+    assert(PyDictParser.extractKey("{'score': 0.5}", "score") == "0.5")
+    // ints beyond 2^53 stay exact (no double round-trip)
+    assert(PyDictParser.extractKey("{'id': 9007199254740993}", "id") == "9007199254740993")
+    // \xNN / \uNNNN / octal escapes decode like Python eval
+    assert(PyDictParser.extractKey("{'author': 'M\\xfcller'}", "author") == "Müller")
+    assert(PyDictParser.extractKey("{'s': '\\u00e9t\\351'}", "s") == "été")
+    // duplicate keys: first position, last value (Python semantics)
+    assert(PyDictParser.extractKey("{'a': 1, 'a': 2}", "a") == "2")
+  }
 }

@@ -52,7 +52,8 @@ class ScholarSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("numPages matches the reference arithmetic") {
-    // (num_articles - 1) // 10 + 1, webscrapers.py:112
+    // (num_articles - 1) // 10 + 1, webscrapers.py:112 — FLOOR division
+    assert(Scholar.numPages(0) == 0)
     assert(Scholar.numPages(1) == 1)
     assert(Scholar.numPages(10) == 1)
     assert(Scholar.numPages(11) == 2)

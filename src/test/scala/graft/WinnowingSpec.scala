@@ -60,4 +60,17 @@ class WinnowingSpec extends AnyFunSuite {
     assert(Winnowing.fingerprints("abc", 5, 4).isEmpty)
     assert(Winnowing.fingerprints("abcde", 5, 4).length == 1)
   }
+
+  test("robust tie retention: constant/repetitive text stays ~1/w density") {
+    // every k-gram hash is equal; without previous-pick retention the
+    // rightmost-min moves each slide and emission becomes one per position
+    val n = 2000
+    val fps = Winnowing.fingerprints("a" * n, 5, 4)
+    val windows = n - 5 + 1 - 4 + 1
+    assert(fps.length <= windows / 4 + 2, s"${fps.length} fps for $windows windows")
+    // spammy repetition: a short phrase repeated also stays sparse
+    val spam = "buy now " * 300
+    val d = Winnowing.fingerprints(spam, 5, 4).length.toDouble / (spam.length - 4)
+    assert(d < 0.6, s"density $d on repetitive text")
+  }
 }
