@@ -123,4 +123,32 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // manifest snapshots exist
     assert(new java.io.File(s"$root/manifest").list().count(_.startsWith("snapshot-")) == 4)
   }
+
+  test("crash BETWEEN data append and lineage commit never duplicates rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl_orphan").toString
+    val pages = ExtractPipeline.pages(spark, 120, 4)
+    val target = CorpusGen.TargetWords.toSet
+    val bycatch = CorpusGen.BycatchWords.toSet
+
+    intercept[RuntimeException] {
+      GraftTable.runResumable(spark, pages, root, nBuckets = 4, bucketsPerWave = 2,
+        target, bycatch, tasksPerWave = 4, attempt = 1, failAfterWaves = 1)
+    }
+    // simulate the crash window: bucket data landed but the lineage row
+    // did not — write orphan rows into a NOT-yet-committed bucket dir
+    val done = GraftTable.completedBuckets(spark, root)
+    val orphanBucket = ((0 until 4).toSet -- done).head
+    spark.read.parquet(s"$root/data")
+      .limit(7)
+      .write.mode("append").parquet(s"$root/data/bucket=$orphanBucket")
+
+    // resume must DELETE the orphan (its lineage row is absent -> the
+    // wave never committed) and re-run the bucket cleanly
+    GraftTable.runResumable(spark, pages, root, nBuckets = 4,
+      bucketsPerWave = 2, target, bycatch, tasksPerWave = 4, attempt = 2)
+    val data = spark.read.parquet(s"$root/data")
+    assert(data.count() == 120, "orphaned wave data duplicated rows")
+    assert(data.select("url").distinct().count() == 120)
+  }
 }
