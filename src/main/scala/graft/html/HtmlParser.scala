@@ -185,14 +185,251 @@ object HtmlParser {
   }
 }
 
-/** HTML entity decoding for the common named entities + numeric refs. */
+/** HTML entity decoding: the full HTML4 named set (case-sensitive names
+  * per spec) + numeric refs. */
 object Entities {
   private val Named = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
     "nbsp" -> " ", "mdash" -> "—", "ndash" -> "–",
     "hellip" -> "…", "copy" -> "©", "reg" -> "®",
     "ldquo" -> "“", "rdquo" -> "”", "lsquo" -> "‘",
-    "rsquo" -> "’", "times" -> "×", "middot" -> "·")
+    "rsquo" -> "’", "times" -> "×", "middot" -> "·",
+    "AElig" -> "Æ",
+    "Aacute" -> "Á",
+    "Acirc" -> "Â",
+    "Agrave" -> "À",
+    "Alpha" -> "Α",
+    "Aring" -> "Å",
+    "Atilde" -> "Ã",
+    "Auml" -> "Ä",
+    "Beta" -> "Β",
+    "Ccedil" -> "Ç",
+    "Chi" -> "Χ",
+    "Dagger" -> "‡",
+    "Delta" -> "Δ",
+    "ETH" -> "Ð",
+    "Eacute" -> "É",
+    "Ecirc" -> "Ê",
+    "Egrave" -> "È",
+    "Epsilon" -> "Ε",
+    "Eta" -> "Η",
+    "Euml" -> "Ë",
+    "Gamma" -> "Γ",
+    "Iacute" -> "Í",
+    "Icirc" -> "Î",
+    "Igrave" -> "Ì",
+    "Iota" -> "Ι",
+    "Iuml" -> "Ï",
+    "Kappa" -> "Κ",
+    "Lambda" -> "Λ",
+    "Mu" -> "Μ",
+    "Ntilde" -> "Ñ",
+    "Nu" -> "Ν",
+    "OElig" -> "Œ",
+    "Oacute" -> "Ó",
+    "Ocirc" -> "Ô",
+    "Ograve" -> "Ò",
+    "Omega" -> "Ω",
+    "Omicron" -> "Ο",
+    "Oslash" -> "Ø",
+    "Otilde" -> "Õ",
+    "Ouml" -> "Ö",
+    "Phi" -> "Φ",
+    "Pi" -> "Π",
+    "Prime" -> "″",
+    "Psi" -> "Ψ",
+    "Rho" -> "Ρ",
+    "Scaron" -> "Š",
+    "Sigma" -> "Σ",
+    "THORN" -> "Þ",
+    "Tau" -> "Τ",
+    "Theta" -> "Θ",
+    "Uacute" -> "Ú",
+    "Ucirc" -> "Û",
+    "Ugrave" -> "Ù",
+    "Upsilon" -> "Υ",
+    "Uuml" -> "Ü",
+    "Xi" -> "Ξ",
+    "Yacute" -> "Ý",
+    "Yuml" -> "Ÿ",
+    "Zeta" -> "Ζ",
+    "aacute" -> "á",
+    "acirc" -> "â",
+    "acute" -> "´",
+    "aelig" -> "æ",
+    "agrave" -> "à",
+    "alefsym" -> "ℵ",
+    "alpha" -> "α",
+    "and" -> "∧",
+    "ang" -> "∠",
+    "aring" -> "å",
+    "asymp" -> "≈",
+    "atilde" -> "ã",
+    "auml" -> "ä",
+    "bdquo" -> "„",
+    "beta" -> "β",
+    "brvbar" -> "¦",
+    "bull" -> "•",
+    "cap" -> "∩",
+    "ccedil" -> "ç",
+    "cedil" -> "¸",
+    "cent" -> "¢",
+    "chi" -> "χ",
+    "circ" -> "ˆ",
+    "clubs" -> "♣",
+    "cong" -> "≅",
+    "crarr" -> "↵",
+    "cup" -> "∪",
+    "curren" -> "¤",
+    "dArr" -> "⇓",
+    "dagger" -> "†",
+    "darr" -> "↓",
+    "deg" -> "°",
+    "delta" -> "δ",
+    "diams" -> "♦",
+    "divide" -> "÷",
+    "eacute" -> "é",
+    "ecirc" -> "ê",
+    "egrave" -> "è",
+    "empty" -> "∅",
+    "emsp" -> " ",
+    "ensp" -> " ",
+    "epsilon" -> "ε",
+    "equiv" -> "≡",
+    "eta" -> "η",
+    "eth" -> "ð",
+    "euml" -> "ë",
+    "euro" -> "€",
+    "exist" -> "∃",
+    "fnof" -> "ƒ",
+    "forall" -> "∀",
+    "frac12" -> "½",
+    "frac14" -> "¼",
+    "frac34" -> "¾",
+    "frasl" -> "⁄",
+    "gamma" -> "γ",
+    "ge" -> "≥",
+    "hArr" -> "⇔",
+    "harr" -> "↔",
+    "hearts" -> "♥",
+    "iacute" -> "í",
+    "icirc" -> "î",
+    "iexcl" -> "¡",
+    "igrave" -> "ì",
+    "image" -> "ℑ",
+    "infin" -> "∞",
+    "int" -> "∫",
+    "iota" -> "ι",
+    "iquest" -> "¿",
+    "isin" -> "∈",
+    "iuml" -> "ï",
+    "kappa" -> "κ",
+    "lArr" -> "⇐",
+    "lambda" -> "λ",
+    "lang" -> "〈",
+    "laquo" -> "«",
+    "larr" -> "←",
+    "lceil" -> "⌈",
+    "le" -> "≤",
+    "lfloor" -> "⌊",
+    "lowast" -> "∗",
+    "loz" -> "◊",
+    "lrm" -> "‎",
+    "lsaquo" -> "‹",
+    "macr" -> "¯",
+    "micro" -> "µ",
+    "minus" -> "−",
+    "mu" -> "μ",
+    "nabla" -> "∇",
+    "ne" -> "≠",
+    "ni" -> "∋",
+    "not" -> "¬",
+    "notin" -> "∉",
+    "nsub" -> "⊄",
+    "ntilde" -> "ñ",
+    "nu" -> "ν",
+    "oacute" -> "ó",
+    "ocirc" -> "ô",
+    "oelig" -> "œ",
+    "ograve" -> "ò",
+    "oline" -> "‾",
+    "omega" -> "ω",
+    "omicron" -> "ο",
+    "oplus" -> "⊕",
+    "or" -> "∨",
+    "ordf" -> "ª",
+    "ordm" -> "º",
+    "oslash" -> "ø",
+    "otilde" -> "õ",
+    "otimes" -> "⊗",
+    "ouml" -> "ö",
+    "para" -> "¶",
+    "part" -> "∂",
+    "permil" -> "‰",
+    "perp" -> "⊥",
+    "phi" -> "φ",
+    "pi" -> "π",
+    "piv" -> "ϖ",
+    "plusmn" -> "±",
+    "pound" -> "£",
+    "prime" -> "′",
+    "prod" -> "∏",
+    "prop" -> "∝",
+    "psi" -> "ψ",
+    "rArr" -> "⇒",
+    "radic" -> "√",
+    "rang" -> "〉",
+    "raquo" -> "»",
+    "rarr" -> "→",
+    "rceil" -> "⌉",
+    "real" -> "ℜ",
+    "rfloor" -> "⌋",
+    "rho" -> "ρ",
+    "rlm" -> "‏",
+    "rsaquo" -> "›",
+    "sbquo" -> "‚",
+    "scaron" -> "š",
+    "sdot" -> "⋅",
+    "sect" -> "§",
+    "shy" -> "­",
+    "sigma" -> "σ",
+    "sigmaf" -> "ς",
+    "sim" -> "∼",
+    "spades" -> "♠",
+    "sub" -> "⊂",
+    "sube" -> "⊆",
+    "sum" -> "∑",
+    "sup" -> "⊃",
+    "sup1" -> "¹",
+    "sup2" -> "²",
+    "sup3" -> "³",
+    "supe" -> "⊇",
+    "szlig" -> "ß",
+    "tau" -> "τ",
+    "there4" -> "∴",
+    "theta" -> "θ",
+    "thetasym" -> "ϑ",
+    "thinsp" -> " ",
+    "thorn" -> "þ",
+    "tilde" -> "˜",
+    "trade" -> "™",
+    "uArr" -> "⇑",
+    "uacute" -> "ú",
+    "uarr" -> "↑",
+    "ucirc" -> "û",
+    "ugrave" -> "ù",
+    "uml" -> "¨",
+    "upsih" -> "ϒ",
+    "upsilon" -> "υ",
+    "uuml" -> "ü",
+    "weierp" -> "℘",
+    "xi" -> "ξ",
+    "yacute" -> "ý",
+    "yen" -> "¥",
+    "yuml" -> "ÿ",
+    "zeta" -> "ζ",
+    "zwj" -> "‍",
+    "zwnj" -> "‌")
 
   def decode(s: String): String = {
     if (s.indexOf('&') < 0) return s

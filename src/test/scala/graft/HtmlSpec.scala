@@ -52,6 +52,13 @@ class HtmlSpec extends AnyFunSuite {
     assert(ex.citationSpans == Boilerplate.findCitations(dom))
   }
 
+  test("full HTML4 named entity set decodes") {
+    val d = HtmlParser.parse(
+      "<body><p>caf&eacute; &Uuml;ber r&eacute;sum&eacute; &alpha;&beta; &euro;9 &frac12; &deg;C &Omega;</p></body>")
+    val t = Selectors.cssFirst(d, "p").get.normalizedText
+    assert(t == "café Über résumé αβ €9 ½ °C Ω", t)
+  }
+
   test("title is RCDATA: entities decode; script/style stay raw") {
     val d = HtmlParser.parse(
       "<html><head><title>Fish &amp; Chips &#8211; Review</title></head><body><p>x</p></body></html>")
