@@ -23,19 +23,20 @@ object Downloads {
   def cleanLink(rawOnclick: String, baseUrl: String): String =
     graft.ids.LinkCleaner.formatDownloadLink(rawOnclick, baseUrl).getOrElse("")
 
-  /** 64-bit FNV-1a — collision-safe at corpus scale (a 32-bit hash
-    * collides with ~50% probability already at ~77k urls). */
-  private def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-    h
+  /** Lowercase md5 hex — the deterministic stand-in for the reference's
+    * randint/Etag nondeterminism (§2.7 row 47), chosen over FNV because
+    * the DuckDB oracle computes the identical function, making receipt
+    * naming cross-engine checkable. */
+  def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
   }
 
   /** Receipt per page. Deterministic filepath: dated prefix (reference
-    * naming, fetch.py:258-263) + 64-bit content-independent url hash
-    * (replaces the reference's randint — incidental nondeterminism,
-    * §2.7 row 47). */
+    * naming, fetch.py:258-263) + content-independent url digest. */
   def receipts(pages: Dataset[PageRecord], today: java.time.LocalDate): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
@@ -47,19 +48,21 @@ object Downloads {
         downloader = "graft.BulkDownloader",
         url = p.url,
         success = ok,
-        filepath = s"$prefix/${java.lang.Long.toUnsignedString(fnv1a64(p.url))}.$kind",
+        filepath = s"$prefix/${md5hex(p.url)}.$kind",
         n_bytes = if (ok) p.html.length.toLong else 0L)
     }.toDF()
   }
 
-  /** Deterministic minimal PNG payload (signature + url-hash-derived
+  /** Deterministic minimal PNG payload (signature + url-digest-derived
     * filler): the offline stand-in for the fetched image bytes, sniffable
-    * by graft.multimodal.BinaryFeatures' png magic check. */
+    * by graft.multimodal.BinaryFeatures' png magic check. Length is a
+    * pure function of md5(imgUrl) so the oracle can recompute n_bytes. */
   def pngPayload(imgUrl: String): Array[Byte] = {
     val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
-    val h = fnv1a64(imgUrl)
-    val n = 64 + math.floorMod(h, 128).toInt
-    val body = Array.tabulate[Byte](n)(i => ((h >>> (i % 8 * 8)) & 0xff).toByte)
+    val h = md5hex(imgUrl)
+    val n = 64 + Integer.parseInt(h.substring(0, 4), 16) % 128
+    val seed = java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16)
+    val body = Array.tabulate[Byte](n)(i => ((seed >>> (i % 8 * 8)) & 0xff).toByte)
     sig ++ body
   }
 
@@ -67,9 +70,10 @@ object Downloads {
     * /root/reference/src/downloaders.py:293-344): one figure fetch per
     * HTML page. Filename keeps the reference's
     * `{today}_{etag}_{file_id}.{ext}` shape (downloaders.py:346-366) with
-    * the Etag and file_id made deterministic (Etag = hex of the image-url
-    * hash; file_id = url hash folded into the reference's randint(1,255)
-    * range); ext = the url's last dot-suffix (downloaders.py:306). */
+    * the Etag and file_id made deterministic (Etag = md5 prefix of the
+    * image url; file_id = url digest folded into the reference's
+    * randint(1,255) range); ext = the url's last dot-suffix
+    * (downloaders.py:306). */
   def imageReceipts(pages: Dataset[PageRecord], today: java.time.LocalDate): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
@@ -79,8 +83,8 @@ object Downloads {
       .map { p =>
         val imgUrl = s"${p.url}/figures/0.png"
         val ext = imgUrl.split('.').last
-        val etag = java.lang.Long.toHexString(fnv1a64(imgUrl))
-        val fileId = math.floorMod(fnv1a64(p.url), 255) + 1
+        val etag = md5hex(imgUrl).substring(0, 16)
+        val fileId = Integer.parseInt(md5hex(p.url).substring(0, 2), 16) % 255 + 1
         val payload = pngPayload(imgUrl)
         DownloadReceipt(
           downloader = "graft.ImagesDownloader",

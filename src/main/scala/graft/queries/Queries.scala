@@ -933,17 +933,41 @@ object Queries {
   /** Download-mode analog: per-page receipts with deterministic dated
     * filepaths; payload bytes stay a column (SURVEY.md §2.1 row 12).
     * Covers BOTH downloader kinds: the bulk-PDF path and the images path
-    * (Etag-style names, png payloads — reference downloaders.py:293-366). */
+    * (Etag-style names, png payloads — reference downloaders.py:293-366).
+    * Naming is md5-derived, so the oracle recomputes every filepath and
+    * payload size from the dumped page metadata. */
   private val q29 = Q(
     "q29_download_receipts",
     (s, _) => {
+      import s.implicits._
       val pages = ExtractPipeline.pages(s, 400)
       val today = java.time.LocalDate.of(2026, 8, 16)
+      pages.map { p =>
+        val kind = if (graft.pdf.PdfDoc.isPdf(p.html)) "pdf" else "html"
+        (p.url, kind, if (p.html == null) 0L else p.html.length.toLong)
+      }.toDF("url", "kind", "n_bytes")
+        .write.mode("overwrite").parquet(s"$AuxDir/q29_pages")
       graft.pipeline.Downloads.receipts(pages, today)
         .unionByName(graft.pipeline.Downloads.imageReceipts(pages, today))
         .selectExpr("downloader", "url", "success", "filepath", "n_bytes")
     },
-    None)
+    Some(s"""WITH p AS (SELECT url, kind, n_bytes
+        FROM read_parquet('$AuxDir/q29_pages/*.parquet')),
+      bulk AS (SELECT 'graft.BulkDownloader' AS downloader, url,
+          n_bytes > 0 AS success,
+          concat('260816/', md5(url), '.', kind) AS filepath,
+          n_bytes FROM p),
+      imgs AS (SELECT concat(url, '/figures/0.png') AS iu, url AS purl
+        FROM p WHERE kind = 'html'),
+      img AS (SELECT 'graft.ImagesDownloader' AS downloader, iu AS url,
+          TRUE AS success,
+          concat('260816_', substr(md5(iu), 1, 16), '_',
+            CAST(('0x' || substr(md5(purl), 1, 2)) AS INTEGER) % 255 + 1, '.png') AS filepath,
+          CAST(72 + CAST(('0x' || substr(md5(iu), 1, 4)) AS INTEGER) % 128 AS BIGINT) AS n_bytes
+        FROM imgs)
+      SELECT downloader, url, success, filepath, n_bytes FROM bulk
+      UNION ALL
+      SELECT downloader, url, success, filepath, n_bytes FROM img"""))
 
   /** Google Scholar paged-search analog (SURVEY.md §2.1 row 9, §2.9): the
     * generator/UDTF shape — 5 query rows fan out to pages of 10 results

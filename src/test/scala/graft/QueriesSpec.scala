@@ -27,7 +27,7 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
 
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Queries.all.count(_.oracle.isDefined)
-    assert(withOracle == 29)
+    assert(withOracle == 30)
     // names in queries and oracleSql line up
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
