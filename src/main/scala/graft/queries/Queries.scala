@@ -54,6 +54,13 @@ object Queries {
     "CAST(FLOOR(LEAST(1.0, GREATEST(0.0, (m*1.0 + b*(-0.25) + (t-m-b)*0.5) / t))*10000.0 + 0.5) AS BIGINT)"
 
 
+  // e3 fixed-point embedding quantization — ONE definition per dialect
+  // (q16/q24/q26/q34 all quantize identically; copies would drift)
+  private val QuantSpark =
+    "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv"
+  private val QuantDuck =
+    "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv"
+
   /** Shared SRP-LSH construction (q24 ANN + q26 embedding near-dup):
     * 32 deterministic md5-derived hyperplane sign bits in 8 four-bit
     * tables. Spark side folds the data-independent weights to driver
@@ -458,6 +465,14 @@ object Queries {
     Q(
       "q15_lsh_near_dup",
       (s, dir) => Q15Result.get(s, dir) {
+        // the planted mutant ids live at +1000000; a fixture whose real
+        // ids reach that range would silently collide (and the oracle
+        // would make the SAME mistake, so verification could not catch
+        // it) — fail loudly instead
+        val maxId = t(s, dir, "documents")
+          .agg(max("doc_id")).head().getLong(0)
+        require(maxId < 1000000L,
+          s"q15 mutant-id offset collides: max doc_id $maxId >= 1000000")
         val base = t(s, dir, "documents").selectExpr("doc_id AS id", s"$SparkToks AS toks")
         // the shingle+hash pipeline feeds the band explode AND both sides
         // of the jaccard join — persist it once instead of recomputing the
@@ -517,7 +532,7 @@ object Queries {
       val qq = t(s, dir, "embeddings")
         .selectExpr(
           "vec_id",
-          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv")
+          QuantSpark)
         .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
       val probes = qq.filter(col("vec_id") < 100)
         .selectExpr("vec_id", "qv AS qa", "nrm AS na")
@@ -536,8 +551,8 @@ object Queries {
         .selectExpr("vec_id", "neighbor_id", "CAST(rnk AS BIGINT) AS rnk",
           "CAST(FLOOR(c*1000000.0 + 0.5) AS BIGINT) AS cos_e6")
     },
-    Some("""WITH q AS (SELECT vec_id,
-        list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
+    Some(s"""WITH q AS (SELECT vec_id,
+        $QuantDuck
       FROM embeddings),
       qq AS (SELECT vec_id, qv,
         CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS nrm FROM q),
@@ -596,24 +611,28 @@ object Queries {
     "q19_resume_lineage",
     (s, _) => {
       val root = java.nio.file.Files.createTempDirectory("graft_q19").toString
-      GraftTable.runResumable(
-        s, ExtractPipeline.pages(s, 160), root,
-        nBuckets = 8, bucketsPerWave = 4,
-        CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet,
-        tasksPerWave = 8)
-      // lineage is one row per bucket — pull it local so the temp table
-      // can be deleted eagerly (repeated bench/verify runs must not leak
-      // disk); this is bounded metadata, not a data collect
-      val lineage = s.read.parquet(s"$root/lineage")
-        .selectExpr("bucket", "n_docs", "n_ok", "n_err", "bytes_in", "attempt")
-      val schema = lineage.schema
-      val rows = lineage.collect().toSeq
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      try {
+        GraftTable.runResumable(
+          s, ExtractPipeline.pages(s, 160), root,
+          nBuckets = 8, bucketsPerWave = 4,
+          CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet,
+          tasksPerWave = 8)
+        // lineage is one row per bucket — pull it local so the temp table
+        // can be deleted eagerly (repeated bench/verify runs must not leak
+        // disk); this is bounded metadata, not a data collect
+        val lineage = s.read.parquet(s"$root/lineage")
+          .selectExpr("bucket", "n_docs", "n_ok", "n_err", "bytes_in", "attempt")
+        val schema = lineage.schema
+        val rows = lineage.collect().toSeq
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema)
+      } finally {
+        // cleanup must also run when the pipeline or the read throws
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(root))
       }
-      rm(new java.io.File(root))
-      import scala.jdk.CollectionConverters._
-      s.createDataFrame(rows.asJava, schema)
     },
     None)
 
@@ -653,7 +672,7 @@ object Queries {
         val qq = t(s, dir, "embeddings")
           .selectExpr(
             "vec_id",
-            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv")
+            QuantSpark)
           .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
           .selectExpr(Seq("vec_id", "qv", "nrm") ++ sTabs: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -684,7 +703,7 @@ object Queries {
             "CAST(FLOOR(c*1000000.0 + 0.5) AS BIGINT) AS cos_e6")
       },
       Some(s"""WITH q AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
+          $QuantDuck
         FROM embeddings),
         qq AS (SELECT vec_id, qv,
           CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS nrm,
@@ -843,10 +862,14 @@ object Queries {
       "q26_embed_near_dup",
       (s, dir) => {
         GraftFunctions.registerAll(s)
+        // perturbed-copy ids live at +100000 (same collision logic as q15)
+        val maxVec = t(s, dir, "embeddings").agg(max("vec_id")).head().getLong(0)
+        require(maxVec < 100000L,
+          s"q26 perturbed-id offset collides: max vec_id $maxVec >= 100000")
         val base = t(s, dir, "embeddings")
           .selectExpr(
             "vec_id AS id",
-            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv")
+            QuantSpark)
         val aug = base.unionByName(
           base.selectExpr("id + 100000 AS id", s"$perturbSpark AS qv"))
         // persisted for the same reason as q24's qq (4 consumers)
@@ -869,7 +892,7 @@ object Queries {
           .filter("cos_e6 >= 995000")
       },
       Some(s"""WITH q AS (SELECT vec_id AS id,
-          list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
+          $QuantDuck
         FROM embeddings),
         aug AS (SELECT id, qv FROM q
                 UNION ALL SELECT id + 100000 AS id, $perturbDuck AS qv FROM q),
@@ -1177,7 +1200,7 @@ object Queries {
       val qq = t(s, dir, "embeddings")
         .selectExpr(
           "vec_id",
-          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv")
+          QuantSpark)
         .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
       val cent = qq.filter(col("vec_id") < k)
         .selectExpr("vec_id AS cid", "qv AS cv", "nrm AS cnrm")
@@ -1210,8 +1233,8 @@ object Queries {
         .selectExpr("vec_id", "neighbor_id", "CAST(rnk AS BIGINT) AS rnk",
           "CAST(FLOOR(c*1000000.0 + 0.5) AS BIGINT) AS cos_e6")
     },
-    Some("""WITH q AS (SELECT vec_id,
-        list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
+    Some(s"""WITH q AS (SELECT vec_id,
+        $QuantDuck
       FROM embeddings),
       qq AS (SELECT vec_id, qv,
         CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS nrm FROM q),
