@@ -14,25 +14,33 @@ import java.util.regex.Pattern
 object Identifiers {
 
   // --- pattern banks (doi_regex.py:5-19) ---------------------------------
+  // UNICODE_CHARACTER_CLASS: Python's \s/\d are Unicode-aware (an NBSP
+  // after a DOI — common in HTML-extracted text — terminates the match in
+  // Python but not in ASCII-only Java \s). UNIX_LINES: Python's $ only
+  // matches before a final \n, Java's also before \r\n — without it a
+  // CRLF-terminated id would match here where the reference returns None.
+  private val Flags = Pattern.UNICODE_CHARACTER_CLASS | Pattern.UNIX_LINES
+
   private val DoiPatterns: List[Pattern] = List(
-    Pattern.compile("doi[\\s.:]{0,2}(10\\.\\d{4}[\\d:.\\-/a-z]+)(?:[\\s\\n\"<]|$)"),
-    Pattern.compile("(10\\.\\d{4}[\\d:.\\-/a-z]+)(?:[\\s\\n\"<]|$)"),
-    Pattern.compile("(10\\.\\d{4}[:.\\-/a-z]+[:.\\-\\d]+)(?:[\\s\\na-z\"<]|$)"),
-    Pattern.compile("https?://[ -~]*doi[ -~]*/(10\\.\\d{4,9}/[-._;()/:a-z0-9]+)(?:[\\s\\n\"<]|$)"),
-    Pattern.compile("^(10\\.\\d{4,9}/[-._;()/:a-z0-9]+)$")
+    Pattern.compile("doi[\\s.:]{0,2}(10\\.\\d{4}[\\d:.\\-/a-z]+)(?:[\\s\\n\"<]|$)", Flags),
+    Pattern.compile("(10\\.\\d{4}[\\d:.\\-/a-z]+)(?:[\\s\\n\"<]|$)", Flags),
+    Pattern.compile("(10\\.\\d{4}[:.\\-/a-z]+[:.\\-\\d]+)(?:[\\s\\na-z\"<]|$)", Flags),
+    Pattern.compile("https?://[ -~]*doi[ -~]*/(10\\.\\d{4,9}/[-._;()/:a-z0-9]+)(?:[\\s\\n\"<]|$)", Flags),
+    Pattern.compile("^(10\\.\\d{4,9}/[-._;()/:a-z0-9]+)$", Flags)
   )
 
   private val ArxivPatterns: List[Pattern] = List(
-    Pattern.compile("^(\\d{4}\\.\\d+)(?:v\\d+)?$"),
-    Pattern.compile("arxiv[\\s]*:[\\s]*(\\d{4}\\.\\d+)(?:v\\d+)?(?:[\\s\\n\"<]|$)"),
-    Pattern.compile("(\\d{4}\\.\\d+)(?:v\\d+)?(?:\\.pdf)"),
-    Pattern.compile("^(\\d{4}\\.\\d+)(?:v\\d+)?$")
+    Pattern.compile("^(\\d{4}\\.\\d+)(?:v\\d+)?$", Flags),
+    Pattern.compile("arxiv[\\s]*:[\\s]*(\\d{4}\\.\\d+)(?:v\\d+)?(?:[\\s\\n\"<]|$)", Flags),
+    Pattern.compile("(\\d{4}\\.\\d+)(?:v\\d+)?(?:\\.pdf)", Flags),
+    Pattern.compile("^(\\d{4}\\.\\d+)(?:v\\d+)?$", Flags)
   )
 
   // --- normalizers (doi_regex.py:21-45) -----------------------------------
-  // (?xm): COMMENTS + MULTILINE, as in the reference's verbose pattern.
+  // (?xmdU): COMMENTS + MULTILINE as in the reference's verbose pattern,
+  // plus UNIX_LINES (d) and UNICODE_CHARACTER_CLASS (U) for Python parity.
   private val DoiRegex = Pattern.compile(
-    """(?xm)
+    """(?xmdU)
       (?<marker>   doi[:/\s]{0,3})?
       (?<prefix>
         (?<namespace> 10)
@@ -45,7 +53,7 @@ object Identifiers {
     """)
 
   private val ArxivRegex = Pattern.compile(
-    """(?xi)
+    """(?xidU)
       (?<marker>arxiv[:/\s]{0,3})?
       (?<identifier>\d{4}\.\d+)
       (?:v\d+)?
@@ -76,14 +84,32 @@ object Identifiers {
     * standardize group(1); arXiv patterns standardize the WHOLE match
     * (group 0), reproducing the reference's branch at :78-79.
     */
+  /** Case-insensitive substring scan without folding the haystack. */
+  private def containsIgnoreCase(hay: String, needle: String): Boolean = {
+    val last = hay.length - needle.length
+    var i = 0
+    while (i <= last) {
+      if (hay.regionMatches(true, i, needle, 0, needle.length)) return true
+      i += 1
+    }
+    false
+  }
+
   def extract(text: String): Option[String] = {
+    // necessary-condition prescans (semantics-preserving) run on the RAW
+    // text: every DOI pattern contains the case-invariant literal `10.`,
+    // and every arXiv pattern needs "arxiv", ".pdf", or the WHOLE input
+    // shaped like an anchored id. The O(n) lowercase copy — this runs
+    // over the full main text of every page — is only paid when a
+    // prescan actually hits. NOTE: casefold ≈ toLowerCase here; they
+    // differ on ligatures/sharp-s (U+FB01 etc.), which do not occur in
+    // well-formed identifiers (divergence documented, accepted).
+    val mightDoi = text.contains("10.")
+    val mightArxiv = containsIgnoreCase(text, "arxiv") ||
+      containsIgnoreCase(text, ".pdf") || anchoredIdShape(text)
+    if (!mightDoi && !mightArxiv) return None
     val folded = text.toLowerCase(java.util.Locale.ROOT)
-    // necessary-condition prescans (semantics-preserving): every DOI
-    // pattern contains the literal `10\.`, and every arXiv pattern needs
-    // "arxiv", ".pdf", or the WHOLE input shaped like an anchored id —
-    // one indexOf beats nine regex scans over body text, and this runs
-    // over the full main text of every doi-less page in the corpus
-    if (folded.contains("10.")) {
+    if (mightDoi) {
       DoiPatterns.foreach { p =>
         val m = p.matcher(folded)
         if (m.find()) {
@@ -92,7 +118,7 @@ object Identifiers {
         }
       }
     }
-    if (folded.contains("arxiv") || folded.contains(".pdf") || anchoredIdShape(folded)) {
+    if (mightArxiv) {
       ArxivPatterns.foreach { p =>
         val m = p.matcher(folded)
         if (m.find()) {
@@ -106,14 +132,15 @@ object Identifiers {
 
   /** Necessary condition for the two ANCHORED arXiv patterns
     * (`^\d{4}\.\d+(v\d+)?$`): every char of the whole input is a digit,
-    * '.', 'v', or a final newline ($ matches before one). Body text has
-    * letters and exits on the first char. */
+    * '.', 'v'/'V' (raw text, pre-fold), or a final newline ($ matches
+    * before one). Body text has other letters and exits on the first
+    * char. */
   private def anchoredIdShape(s: String): Boolean = {
     if (s.isEmpty) return false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (!((c >= '0' && c <= '9') || c == '.' || c == 'v' || c == '\n')) return false
+      if (!((c >= '0' && c <= '9') || c == '.' || c == 'v' || c == 'V' || c == '\n')) return false
       i += 1
     }
     true

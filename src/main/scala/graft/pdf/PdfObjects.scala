@@ -93,7 +93,9 @@ final class PdfLexer(val data: Array[Byte], var pos: Int) {
       skipWs()
     }
     pos += 2 // >>
-    PDict(m.toMap)
+    // VectorMap keeps document order: plain toMap hash-scrambles beyond 4
+    // entries, making "first matching Info key" scans nondeterministic
+    PDict(scala.collection.immutable.VectorMap.from(m))
   }
 
   def parseName(): PObj = {

@@ -17,6 +17,19 @@ class IdentifiersSpec extends AnyFunSuite with TableDrivenPropertyChecks {
     ("https://doi.org/10.1234/123456", Some("10.1234/123456")),
     ("1234.5678", Some("1234.5678")))
 
+  test("Python regex parity: Unicode whitespace terminators, CRLF anchors") {
+    // NBSP after the DOI (ubiquitous in HTML-extracted text): Python \s
+    // matches it; ASCII-only Java \s would miss the whole DOI
+    assert(Identifiers.extract("see doi:10.1234/abc for details") ==
+      Some("10.1234/abc"))
+    // CRLF-terminated anchored arXiv id: Python's $ does NOT match before
+    // \r\n, so the reference returns None — and so must we (UNIX_LINES)
+    assert(Identifiers.standardize("2101.00001\r\n", isDoi = false).isEmpty)
+    // plain-\n termination still accepted (Python $ matches before it)
+    assert(Identifiers.standardize("2101.00001\n", isDoi = false) ==
+      Some("2101.00001"))
+  }
+
   test("extract: DOI golden table") {
     forAll(doiGoldens) { (in, expected) =>
       assert(Identifiers.extract(in) == expected, s"input=$in")
