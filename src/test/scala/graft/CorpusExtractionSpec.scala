@@ -26,7 +26,7 @@ class CorpusExtractionSpec extends AnyFunSuite {
       val ex = Extractor.extract(page)
       assert(ex.ok, s"doc $id failed: ${ex.error}")
       assert(ex.extracted_text == golden.extracted_text,
-        s"doc $id ($${ex.kind}) text mismatch:\nGOT:  ${ex.extracted_text.take(300)}\nWANT: ${golden.extracted_text.take(300)}")
+        s"doc $id (${ex.kind}) text mismatch:\nGOT:  ${ex.extracted_text.take(300)}\nWANT: ${golden.extracted_text.take(300)}")
       if (ex.kind == "html") htmlDocs += 1 else pdfDocs += 1
     }
     assert(htmlDocs > 100 && pdfDocs > 50, s"mix check html=$htmlDocs pdf=$pdfDocs")

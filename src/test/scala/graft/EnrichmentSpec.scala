@@ -12,11 +12,14 @@ import graft.pipeline.Enrichment
 class EnrichmentSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
-  private lazy val full = Enrichment.enrichFull(spark, sf).collect()
-    .map(r => r.getLong(0) -> r).toMap
+  private lazy val rows = Enrichment.enrichFull(spark, sf).collect()
+  private lazy val full = rows.map(r => r.getLong(0) -> r).toMap
 
-  test("every document survives the enrichment (left joins only)") {
+  test("every document survives the enrichment exactly once (no fanout)") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    // ROW count, not keyed-map size: duplicate snapshot keys would fan
+    // rows out invisibly to a doc_id-keyed map
+    assert(rows.length.toLong == n)
     assert(full.size.toLong == n)
   }
 

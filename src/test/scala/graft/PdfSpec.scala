@@ -86,7 +86,11 @@ class PdfSpec extends AnyFunSuite {
 
   test("reference fixture PDF: full real-world extraction (stretch goal)") {
     val f = new java.io.File("/root/reference/tests/test_dirs/test_pdf_1.pdf")
-    if (f.exists()) {
+    // assume (canceled, visible) rather than a silent green pass when the
+    // reference checkout is absent — this is the only end-to-end test on
+    // a REAL Flate/subset-font PDF
+    assume(f.exists(), s"reference fixture missing: $f")
+    locally {
       val bytes = java.nio.file.Files.readAllBytes(f.toPath)
       val doc = new PdfDoc(bytes)
       // a real 169 KB Adobe InDesign + iText journal article

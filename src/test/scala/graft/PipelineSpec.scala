@@ -71,7 +71,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .map(d => graft.textops.Float16.quantize(d))
     assert(got == want)
     // SQL registration path
-    val sqlGot = df.createOrReplaceTempView("hf_t")
+    df.createOrReplaceTempView("hf_t")
     val viaSql = spark.sql("select half_float(x) from hf_t").as[Float].collect().toSeq
     assert(viaSql == want)
   }

@@ -18,6 +18,12 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
   private def run(name: String) =
     Queries.all.find(_.name == name).get.fn(spark, sf)
 
+  // q16 is the brute-force O(n^2) baseline and the most expensive query
+  // here; three tests consume its exact top-1 map — compute once
+  private lazy val exactTop1: Map[Long, Long] =
+    run("q16_ann_topk").filter("rnk = 1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("every query executes and returns rows on sf0.001") {
     Queries.all.foreach { q =>
       val n = q.fn(spark, sf).count()
@@ -28,13 +34,17 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Queries.all.count(_.oracle.isDefined)
     assert(withOracle == 30)
-    // names in queries and oracleSql line up
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // no duplicate query names (the Map would silently collapse them and
+    // the driver would lose a query)
+    assert(SparkEntry.queries.size == Queries.all.size)
+    assert(SparkEntry.oracleSql.size == withOracle)
+    // every oracle is a real SELECT/CTE, not an empty placeholder
+    Queries.all.flatMap(_.oracle).foreach(sql =>
+      assert(sql.toUpperCase.contains("SELECT"), sql.take(80)))
   }
 
   test("q24 LSH-ANN recalls most exact top-1 neighbors at a fraction of the pairs") {
-    val exact = run("q16_ann_topk").filter("rnk = 1").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = exactTop1
     val lsh = run("q24_ann_lsh").filter("rnk = 1").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hits = exact.count { case (p, n) => lsh.get(p).contains(n) }
@@ -66,8 +76,7 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     // 499-vector brute-force scan per probe
     assert(avgCand < vecs.length * 0.6,
       s"IVF prunes nothing: avg candidates $avgCand of ${vecs.length}")
-    val exact = run("q16_ann_topk").filter("rnk = 1").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = exactTop1
     val ivf = run("q34_ann_ivf").collect()
     val top1 = ivf.filter(_.getLong(2) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hits = exact.count { case (p, n) => top1.get(p).contains(n) }
@@ -108,8 +117,7 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
     }
-    val top1 = run("q16_ann_topk").filter("rnk = 1").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top1 = exactTop1
     assert(top1.nonEmpty)
     top1.foreach { case (probe, neighbor) =>
       val pv = q(vecs(probe))

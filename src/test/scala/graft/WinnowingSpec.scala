@@ -69,8 +69,10 @@ class WinnowingSpec extends AnyFunSuite {
     val windows = n - 5 + 1 - 4 + 1
     assert(fps.length <= windows / 4 + 2, s"${fps.length} fps for $windows windows")
     // spammy repetition: a short phrase repeated also stays sparse
+    // (denominator = true window count n-k+1-w+1, same as above)
     val spam = "buy now " * 300
-    val d = Winnowing.fingerprints(spam, 5, 4).length.toDouble / (spam.length - 4)
+    val spamWindows = spam.length - 5 + 1 - 4 + 1
+    val d = Winnowing.fingerprints(spam, 5, 4).length.toDouble / spamWindows
     assert(d < 0.6, s"density $d on repetitive text")
   }
 }
