@@ -82,7 +82,7 @@ final class HElem(
     * spaces and trimmed — the normalized form the extraction pipeline
     * emits per block. Hand-rolled collapse, byte-identical to
     * `split("\\s+").filter(_.nonEmpty).mkString(" ")` (Java regex \s is
-    * exactly [ \t\n\f\r]) without the per-call Pattern compile —
+    * exactly [ \t\n\x0B\f\r]) without the per-call Pattern compile —
     * this runs once per block of every page in the corpus. */
   def normalizedText: String = {
     val sb = new java.lang.StringBuilder

@@ -131,16 +131,18 @@ object Identifiers {
   }
 
   /** Necessary condition for the two ANCHORED arXiv patterns
-    * (`^\d{4}\.\d+(v\d+)?$`): every char of the whole input is a digit,
-    * '.', 'v'/'V' (raw text, pre-fold), or a final newline ($ matches
-    * before one). Body text has other letters and exits on the first
-    * char. */
+    * (`^\d{4}\.\d+(v\d+)?$`): every char of the whole input is a digit
+    * (Character.isDigit — the patterns compile with
+    * UNICODE_CHARACTER_CLASS, so \d accepts Unicode digits and the
+    * prescan must too), '.', 'v'/'V' (raw text, pre-fold), or a final
+    * newline ($ matches before one). Body text has other letters and
+    * exits on the first char. */
   private def anchoredIdShape(s: String): Boolean = {
     if (s.isEmpty) return false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (!((c >= '0' && c <= '9') || c == '.' || c == 'v' || c == 'V' || c == '\n')) return false
+      if (!(Character.isDigit(c) || c == '.' || c == 'v' || c == 'V' || c == '\n')) return false
       i += 1
     }
     true

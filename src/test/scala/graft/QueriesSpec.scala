@@ -162,6 +162,35 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q34 assigns cells map-side: no BNLJ, no assignment window, no persist") {
+    // round-2 verdict's one plan flaw: centroid assignment as
+    // broadcast-join + row_number window materialized k=16 rows per
+    // corpus vector through a full-corpus exchange. The fix folds the
+    // centroids into the projection — the ONLY Window left is the final
+    // top-5 re-rank over probe candidates.
+    val df = run("q34_ann_ivf")
+    df.collect()
+    // AQE's toString prints "== Final Plan ==" then "== Initial Plan =="
+    // (the same tree twice) — assert on the final section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q34 assignment regressed to a centroid cross join:\n${plan.take(1500)}")
+    assert(!plan.contains("InMemoryTableScan"),
+      s"q34 persists an assignment blow-up:\n${plan.take(1500)}")
+    // "Window " (trailing space) matches the Window operator but not the
+    // WindowGroupLimit top-k optimization
+    val windowOps = plan.split("\n").count(_.contains("Window "))
+    assert(windowOps <= 1, s"q34 has $windowOps Window operators (want only the re-rank):\n$plan")
+  }
+
+  test("q16 guard refuses a corpus-scale brute-force broadcast") {
+    intercept[IllegalArgumentException] {
+      Queries.q16Guard(Queries.Q16MaxIndexRows + 1)
+    }
+    Queries.q16Guard(2000L) // fixture scale passes
+  }
+
   test("q24 re-rank never FORCES a broadcast of the embedding table") {
     // round-1 finding: broadcasting the full index is the one scale-killer
     // in an otherwise right plan. The fix: no broadcast hint anywhere in
