@@ -182,6 +182,30 @@ object CorpusGen {
     }
   }
 
+  /** Sci-hub-style download-button page (reference
+    * /root/reference/src/downloaders.py:215-230: `css_first("#buttons
+    * button:nth-child(1)").attributes["onclick"]`): the first button in
+    * #buttons carries the `location.href='...` payload — protocol-
+    * relative (//host/path) for even ids, root-relative (/path) for odd
+    * ids, and a NON-matching onclick for id % 7 == 3 (the reference
+    * returns None there). Payloads follow the reference goldens' shape
+    * (tests/test_downloaders.py:90-110): no trailing quote. A decoy
+    * button before #buttons and a second button inside it pin the
+    * selector descent, not just "first button anywhere". */
+  def buttonPage(id: Long): String = {
+    val onclick =
+      if (id % 7 == 3) s"window.open('/not/a/match/$id')"
+      else if (id % 2 == 0) s"location.href='//dl.example.org/pdf/$id/paper$id.pdf?download=true"
+      else s"location.href='/downloads/2022-11-06/$id/paper$id.pdf?download=true"
+    s"""<html><body>
+<div id="menu"><button onclick="location.href='/wrong/$id">menu</button></div>
+<div id="buttons">
+<button onclick="$onclick">save</button>
+<button onclick="location.href='/alt/$id.pdf">alt mirror</button>
+</div>
+</body></html>"""
+  }
+
   private def wrap(text: String, width: Int): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
