@@ -116,6 +116,11 @@ object GraftTable {
     var totalErr = 0L
     var totalBytes = 0L
     var waveIdx = 0
+    // committed buckets as of the NEXT snapshot: buckets done before this
+    // run plus every wave committed so far — their data files never change
+    // again (orphan cleanup only ever touches un-lineage'd buckets), so
+    // each snapshot can record the cumulative file list by listing them
+    var committed = done
     remaining.grouped(bucketsPerWave).foreach { wave =>
       if (waveIdx >= failAfterWaves)
         throw new RuntimeException(s"injected failure after $failAfterWaves waves")
@@ -172,7 +177,9 @@ object GraftTable {
       val lineage = (metrics.toSeq ++ empty).toDS()
       lineage.coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/lineage")
 
-      writeSnapshot(hfs, root, waveIdx, wave, metrics.map(m => (m.bucket, m.n_docs)))
+      committed = committed ++ wave
+      writeSnapshot(hfs, root, waveIdx, wave,
+        metrics.map(m => (m.bucket, m.n_docs)), committed)
       processed += wave.size
       totalDocs += metrics.map(_.n_docs).sum
       totalOk += metrics.map(_.n_ok).sum
@@ -193,21 +200,59 @@ object GraftTable {
 
   private def writeSnapshot(
       hfs: org.apache.hadoop.fs.FileSystem,
-      root: String, waveIdx: Int, buckets: Seq[Int], counts: Seq[(Int, Long)]): Unit = {
+      root: String, waveIdx: Int, buckets: Seq[Int], counts: Seq[(Int, Long)],
+      committed: Set[Int]): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$root/manifest")
     hfs.mkdirs(dir)
     val existing = scala.util.Try(
       hfs.listStatus(dir).count(_.getPath.getName.startsWith("snapshot-"))).getOrElse(0)
+    // the Iceberg-manifest analog: the CUMULATIVE data-file list valid at
+    // this snapshot. Committed buckets are immutable from here on, so a
+    // listing at commit time stays the truth for this snapshot forever.
+    val files = committed.toSeq.sorted.flatMap { b =>
+      val bp = new org.apache.hadoop.fs.Path(s"$root/data/bucket=$b")
+      if (!hfs.exists(bp)) Nil
+      else hfs.listStatus(bp).toSeq
+        .map(st => st.getPath.getName)
+        .filter(_.endsWith(".parquet")).sorted
+        .map(n => s"bucket=$b/$n")
+    }
     val json =
       s"""{"snapshot_id": ${existing + 1},
          |"wave": $waveIdx,
          |"buckets": [${buckets.mkString(",")}],
          |"bucket_docs": {${counts.map { case (b, n) => s""""$b": $n""" }.mkString(",")}},
+         |"files": [${files.map(f => s""""$f"""").mkString(",")}],
          |"schema_id": 1}""".stripMargin
     val out = hfs.create(
       new org.apache.hadoop.fs.Path(s"$root/manifest/snapshot-${existing + 1}.json"), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Time travel: read the table AS OF `snapshot-<id>.json` — exactly the
+    * data files that snapshot's manifest recorded, so waves committed
+    * AFTER it are invisible (the Iceberg snapshot-read surface promised
+    * in SURVEY.md §7.3). basePath keeps the bucket partition column. */
+  def readSnapshot(spark: SparkSession, root: String, snapshotId: Int): DataFrame = {
+    val hfs = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/manifest/snapshot-$snapshotId.json")
+    require(hfs.exists(p), s"no snapshot-$snapshotId under $root/manifest")
+    val in = hfs.open(p)
+    val json = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toString("UTF-8")
+    } finally in.close()
+    val files = "\"files\": \\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse(
+        throw new IllegalStateException(s"snapshot-$snapshotId has no files manifest"))
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    require(files.nonEmpty, s"snapshot-$snapshotId records zero data files")
+    spark.read.option("basePath", s"$root/data")
+      .parquet(files.toSeq.map(f => s"$root/data/$f"): _*)
   }
 }
 

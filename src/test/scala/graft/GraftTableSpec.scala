@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.ExtractPipeline
+import graft.corpus.CorpusGen
+import graft.table.GraftTable
+
+/** Snapshot (time-travel) semantics of the Iceberg-emulation layer
+  * (SURVEY.md §7.3): each wave's manifest records the cumulative data
+  * FILE list, and readSnapshot reads exactly those files — appends
+  * committed after a snapshot must be invisible to it.
+  */
+class GraftTableSpec extends AnyFunSuite with SparkTestBase {
+
+  test("snapshot read: post-snapshot appends are invisible to the old snapshot") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl_snap").toString
+    val pages = ExtractPipeline.pages(spark, 160, 4)
+    val target = CorpusGen.TargetWords.toSet
+    val bycatch = CorpusGen.BycatchWords.toSet
+
+    // first run commits wave 1 (2 of 8 buckets) then dies
+    intercept[RuntimeException] {
+      GraftTable.runResumable(spark, pages, root, nBuckets = 8, bucketsPerWave = 2,
+        target, bycatch, tasksPerWave = 4, attempt = 1, failAfterWaves = 1)
+    }
+    val snap1 = GraftTable.readSnapshot(spark, root, 1)
+    val snap1Urls = snap1.select("url").collect().map(_.getString(0)).toSet
+    val snap1Count = snap1Urls.size.toLong
+    assert(snap1.count() == snap1Count)
+    assert(snap1Count > 0 && snap1Count < 160)
+    // snapshot 1 sees exactly the committed buckets
+    val done1 = GraftTable.completedBuckets(spark, root)
+    assert(snap1.select("bucket").distinct().collect()
+      .map(_.getInt(0)).toSet == done1)
+
+    // resume to completion: three more waves -> snapshots 2..4 appended
+    GraftTable.runResumable(spark, pages, root, nBuckets = 8, bucketsPerWave = 2,
+      target, bycatch, tasksPerWave = 4, attempt = 2)
+    assert(spark.read.parquet(s"$root/data").count() == 160)
+
+    // the OLD snapshot is unchanged: identical rows despite the appends
+    val snap1Again = GraftTable.readSnapshot(spark, root, 1)
+    assert(snap1Again.count() == snap1Count)
+    assert(snap1Again.select("url").collect().map(_.getString(0)).toSet == snap1Urls)
+
+    // the latest snapshot sees the whole table; the chain is monotone
+    val last = new java.io.File(s"$root/manifest").list()
+      .count(_.startsWith("snapshot-"))
+    assert(last == 4, s"expected 4 snapshots, found $last")
+    val counts = (1 to last).map(i => GraftTable.readSnapshot(spark, root, i).count())
+    assert(counts.last == 160L)
+    assert(counts == counts.sorted, s"snapshot chain not monotone: $counts")
+
+    // a missing snapshot id fails loudly, not with an empty frame
+    intercept[IllegalArgumentException] {
+      GraftTable.readSnapshot(spark, root, 99)
+    }
+  }
+}
