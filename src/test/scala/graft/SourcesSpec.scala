@@ -46,6 +46,37 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(texts.toSet == Set("document 0 body line", "document 1 body line", "document 2 body line"))
   }
 
+  test("serialize-from-csv replays the reference fixture (title/doi/authors goldens)") {
+    // reference fixture tests/test_dirs/test_example_file_1.csv through
+    // the serialize_from_csv composition (/root/reference/src/serials.py:
+    // 26-43 = usecols scan + fillna + nested-dict cleanup). Expected
+    // values follow the CODE's semantics: the doi/title columns have no
+    // dict cells (order preserved); the authors column has ONE dict cell,
+    // whose extracted value lands LAST (partition-then-concat reorder,
+    // serials.py:80-86). The reference's own parametrized golden for
+    // authors (tests/test_serializers.py, @skip) predates the dict path
+    // and lists only the 3 plain names — the code produces 4.
+    import spark.implicits._
+    val fixture = "/root/reference/tests/test_dirs/test_example_file_1.csv"
+    def serialize(column: String): Seq[String] = {
+      val pruned = Sources.csvColumn(spark, fixture, column)
+      graft.pipeline.Stagers
+        .cleanDictColumn(pruned, column, column, referenceReorder = true)
+        .as[String].collect().toSeq
+    }
+    assert(serialize("title") == Seq(
+      "Fake News and Misinformation",
+      "Prosocial Eurythmics",
+      "Gamification on Social Media",
+      "Memoirs of a Gaysha, Jujubee's Journey, I'm Still Here"))
+    assert(serialize("doi") == Seq(
+      "10.1000/12345", "10.1000/23456", "10.1000/34567", "pub.12345"))
+    assert(serialize("authors") == Seq(
+      "Darius Lettsgetham", "Anne Elon-Ux", "Jujubee", "I. Ron Butterfly"))
+    // missing values fill N/A before cleanup (times_cited has two blanks)
+    assert(serialize("times_cited") == Seq("5", "N/A", "N/A", "9001"))
+  }
+
   test("wordSet load: strip, lower, dedup") {
     val p = s"$tmp/words.txt"
     Files.writeString(Paths.get(p), "  Prosocial \nDESIGN\ndesign\n\n behavior\n")

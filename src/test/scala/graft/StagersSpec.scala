@@ -38,6 +38,23 @@ class StagersSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq(("r0", 10), ("r1", 11), ("r2", 12), ("r3", 13)))
   }
 
+  test("staged-reference tuple shapes: short/empty positional frames") {
+    // reference /root/reference/tests/test_fetch.py:147-158
+    // (fetch_with_staged_reference): (["citation"], []) must yield a
+    // NON-empty frame, ([], []) an empty one — the positional join keeps
+    // every left row and null-fills a shorter/empty right side
+    import spark.implicits._
+    val oneCitation = Seq("citation").toDF("citation")
+    val emptyTitles = spark.emptyDataset[String].toDF("source_titles")
+    val joined = Stagers.zipByPosition(oneCitation, emptyTitles).collect()
+    assert(joined.length == 1, "([citation], []) must not be empty")
+    assert(joined(0).getString(0) == "citation")
+    assert(joined(0).isNullAt(1), "missing right side null-fills")
+    val bothEmpty = Stagers.zipByPosition(
+      spark.emptyDataset[String].toDF("citation"), emptyTitles)
+    assert(bothEmpty.count() == 0, "([], []) must be empty")
+  }
+
   test("explodeWithSource keeps parent per element, null row when empty") {
     import spark.implicits._
     val df = Seq(
