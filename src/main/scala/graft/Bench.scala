@@ -126,6 +126,39 @@ object Bench {
       (sec, med, max)
     }.sortBy(_._1)
     val (tHiAtCpus, medianTaskMs, maxTaskMs) = headlineRuns(headlineRuns.length / 2)
+
+    // ---- skew evidence at bench scale (SURVEY.md §7.6) ----------------
+    // The corpus has a 30%-hot domain by construction (CorpusGen
+    // HotDomainShare). Parse the SAME pages twice: once partitioned by
+    // raw domain (the pathological input layout — one task owns the hot
+    // domain) and once through the salted url-hash repartition the
+    // pipeline uses. max/median task time shows the salting effect at
+    // bench scale, not just the unit-scale PipelineSpec assertion.
+    import org.apache.spark.sql.functions.{expr, col, lit, xxhash64}
+    val sp = spark // stable identifier for the implicits import
+    import sp.implicits._
+    val skewDocs = 40000L
+    val skewPages = ExtractPipeline.pages(spark, skewDocs, cpus * 4)
+    def parseLeg(prepared: org.apache.spark.sql.Dataset[graft.model.PageRecord]): (Double, Long, Long) = {
+      listener.clear()
+      val sec = timeSec {
+        ExtractPipeline.extractAndScore(prepared, numPartitions = 0,
+          CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet)
+          .mapPartitions(it => Iterator.single(it.count(_.ok).toLong))
+          .reduce(_ + _): Unit
+      }
+      Thread.sleep(300)
+      val (med, max) = listener.skew
+      (sec, med, max)
+    }
+    val byDomain = skewPages
+      .repartition(cpus, expr("regexp_extract(url, 'd([0-9]+)', 1)"))
+      .as[graft.model.PageRecord]
+    val (domainSec, domainMed, domainMax) = parseLeg(byDomain)
+    val salted = skewPages
+      .repartition(cpus, xxhash64(col("url"), lit(0L)))
+      .as[graft.model.PageRecord]
+    val (saltedSec, saltedMed, saltedMax) = parseLeg(salted)
     spark.stop()
 
     // scaling legs: identical input + plan, two parallelism levels, each
@@ -208,6 +241,7 @@ object Bench {
       s""","failed_queries":$failed""" +
       s""","queries_total_sec":${f(total)},"extract_docs":$nDocs,"extract_ok":$okHi,"extract_sec":${f(tHiAtCpus)}""" +
       s""","task_ms_median":$medianTaskMs,"task_ms_max":$maxTaskMs""" +
+      s""","skew_evidence":{"docs":$skewDocs,"hot_domain_share":0.3,"domain_partitioned":{"sec":${f(domainSec)},"task_ms_median":$domainMed,"task_ms_max":$domainMax},"salted":{"sec":${f(saltedSec)},"task_ms_median":$saltedMed,"task_ms_max":$saltedMax}}""" +
       s""","scaling":{"cpus_lo":$cpusLo,"sec_lo":${f(tLo)},"cpus_hi":$cpusHi,"sec_hi":${f(tHi)},"efficiency":${f(efficiency)},"fallback_legs":$fallbackLegs}}"""
     println(line)
     // belt-and-braces: also land the metric line in a file so the bench

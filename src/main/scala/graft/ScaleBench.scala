@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.queries.Queries
+
+/** 10x data-scale evidence for the dedup/ANN suite (round-2 verdict next
+  * item #2): the 100 TB claims for q13-q16/q24-q27/q34/q35 rested on
+  * sf0.1 wall times plus plan reading. This main synthesizes
+  * documents/embeddings with the driver fixture's schema and shape at
+  * x1 (sf0.1-sized: 5,000 docs / 2,000 vectors) and x10 (50,000 /
+  * 20,000), runs the suite at both, and emits ONE JSON line of wall
+  * seconds + growth ratios. The bucketed paths must grow roughly
+  * linearly — a super-linear blow-up means a plan flipped to a
+  * scale-killer at real sizes (AQE re-plans with runtime statistics, so
+  * fixture-scale plans do not automatically survive).
+  *
+  * Outputs under target/scale/{x1,x10}; tables are regenerated
+  * deterministically on every run (no external data).
+  */
+object ScaleBench {
+
+  // splitmix64 finalizer (public constant set, same as CorpusGen)
+  private def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // word pool shaped like the driver's documents fixture: the q08-q11 /
+  // q35 vocabularies (target/bycatch/markers) plus neutral filler
+  private val Vocab: Vector[String] = Vector(
+    "spark", "table", "query", "join", "agg", "scan", "hash", "merge",
+    "sort", "stream", "slow", "big", "small", "the", "a", "fast",
+    "batch", "line", "column", "order", "value", "group", "filter",
+    "customer", "key", "window", "part", "vector", "file", "row",
+    "index", "page", "block", "cache", "plan", "stage", "task",
+    "shuffle", "write", "read")
+
+  /** Deterministic word-salad text for a doc id; ids where
+    * id % 625 == 624 copy the PREVIOUS id's text so exact duplicates
+    * exist at the fixture's ~0.16% rate (sf0.1: 4992 distinct / 5000). */
+  private def docText(id0: Long): String = {
+    val id = if (id0 % 625 == 624) id0 - 1 else id0
+    var s = mix(id)
+    val n = 8 + (mix(s + 1) % 93).toInt.abs // 8..100 tokens
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      s = mix(s + i)
+      if (i > 0) sb.append(' ')
+      sb.append(Vocab((s % Vocab.length).toInt.abs))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Deterministic unit-norm 64-dim embedding (the driver fixture's
+    * vectors are L2-normalized: quantized norms sit at ~1e6 in e6 fixed
+    * point). Gaussian coords via Box-Muller over splitmix streams. */
+  private def embedding(id: Long): Array[Float] = {
+    val v = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      val u1 = ((mix(id * 131 + i) >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+      val u2 = ((mix(id * 131 + i + 7919) >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+      v(i) = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+      i += 1
+    }
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / nrm).toFloat)
+  }
+
+  private def writeTables(spark: SparkSession, dir: String, nDocs: Long, nVecs: Long): Unit = {
+    import spark.implicits._
+    spark.range(0, nDocs, 1, 32).map { id =>
+      val text = docText(id)
+      val lang = if (id % 19 == 0) "zh" else "en"
+      (id, text, lang, s"src${id % 16}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.range(0, nVecs, 1, 32).map { id =>
+      (id, embedding(id), (mix(id + 17) % 10).toInt.abs)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  private val Suite = Seq(
+    "q13_dedup_exact", "q14_minhash_sig", "q15_lsh_near_dup", "q16_ann_topk",
+    "q24_ann_lsh", "q25_dedup_groups", "q26_embed_near_dup",
+    "q27_winnow_fingerprints", "q34_ann_ivf", "q35_training_set")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = new java.io.File("target/scale").getAbsolutePath
+    val scales = Seq(("x1", 5000L, 2000L), ("x10", 50000L, 20000L))
+    scales.foreach { case (tag, d, v) => writeTables(spark, s"$root/$tag", d, v) }
+
+    // JIT warmup on a SEPARATE tiny dir — warming on x1 itself would
+    // leave q15's result cache (Q15Result is keyed by dir) hot and the
+    // timed x1 leg would measure a cache read, inflating every ratio
+    writeTables(spark, s"$root/warm", 1000L, 500L)
+    Suite.foreach(n => Queries.all.find(_.name == n).get.fn(spark, s"$root/warm").count())
+
+    def f(x: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, x)
+    val times = scales.map { case (tag, _, _) =>
+      tag -> Suite.map { name =>
+        val fn = Queries.all.find(_.name == name).get.fn
+        val t0 = System.nanoTime()
+        val rows = fn(spark, s"$root/$tag").count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (name, sec, rows)
+      }
+    }.toMap
+    val x1 = times("x1").map(t => (t._1, t._2)).toMap
+    val line = {
+      val per = times.map { case (tag, ts) =>
+        s""""$tag":{${ts.map(t => s""""${t._1}":${f(t._2)}""").mkString(",")}}"""
+      }.mkString(",")
+      val rows = times.map { case (tag, ts) =>
+        s""""rows_$tag":{${ts.map(t => s""""${t._1}":${t._3}""").mkString(",")}}"""
+      }.mkString(",")
+      val ratios = times("x10")
+        .map(t => s""""${t._1}":${f(t._2 / math.max(x1(t._1), 1e-9))}""").mkString(",")
+      s"""{"metric":"scale_evidence_10x","docs":[5000,50000],"vecs":[2000,20000],$per,$rows,"ratio_x10_over_x1":{$ratios}}"""
+    }
+    println(line)
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("scale_out.json"), line + "\n"))
+    spark.stop()
+  }
+}

@@ -70,13 +70,21 @@ object Queries {
   private val QuantDuck =
     "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv"
 
-  /** Shared SRP-LSH construction (q24 ANN + q26 embedding near-dup):
-    * 32 deterministic md5-derived hyperplane sign bits in 8 four-bit
-    * tables. Spark side folds the data-independent weights to driver
-    * constants and dots with the native DotI64; the oracle keeps the md5
-    * derivation as the constant's spec. */
-  private object SrpLsh {
-    val nTables = 8
+  /** SRP-LSH construction (q24 ANN + q26 embedding near-dup):
+    * deterministic md5-derived hyperplane sign bits in `nTables` tables
+    * of `bitsPerTable` bits. Spark side folds the data-independent
+    * weights to driver constants and dots with the native DotI64; the
+    * oracle keeps the md5 derivation as the constant's spec.
+    *
+    * Code length is a SCALE parameter, not a constant: per-table bucket
+    * fan-in is ~corpus/2^bits, so candidate pairs grow ~n^2/2^bits — a
+    * table that is fine at fixture scale melts at 10x (measured: 4-bit
+    * tables sent q26 from 3.5 s at 4k vectors to 607 s at 40k; 16-bit
+    * tables restore near-linear growth, see BASELINE.md round 3).
+    * q24 (loose-angle ANN, needs OR-amplified recall over far neighbors)
+    * keeps short 4-bit tables; q26 (cosine >= 0.995 near-dup, where true
+    * pairs agree on almost every hyperplane) uses 16-bit tables. */
+  private final class SrpLsh(nTables: Int, bitsPerTable: Int) {
     def weights(p: Int): Seq[Long] = (1 to 64).map { i =>
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"${i}_$p".getBytes("UTF-8"))
@@ -88,8 +96,9 @@ object Queries {
       "(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> qv[i] * " +
         s"(CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_$p'), 1, 1) < '8' THEN 1 ELSE -1 END))) " +
         ">= 0 THEN '1' ELSE '0' END)"
-    def sTable(t: Int) = (4 * t until 4 * t + 4).map(sBit).mkString("concat(", ", ", ")")
-    def dTable(t: Int) = (4 * t until 4 * t + 4).map(dBit).mkString(" || ")
+    private def planes(t: Int) = bitsPerTable * t until bitsPerTable * (t + 1)
+    def sTable(t: Int) = planes(t).map(sBit).mkString("concat(", ", ", ")")
+    def dTable(t: Int) = planes(t).map(dBit).mkString(" || ")
     val sTabs: Seq[String] = (0 until nTables).map(t => s"${sTable(t)} AS b$t")
     val dTabs: String = (0 until nTables).map(t => s"${dTable(t)} AS b$t").mkString(", ")
     val sStack: String =
@@ -97,6 +106,8 @@ object Queries {
     def dUnion(idCol: String): String =
       (0 until nTables).map(t => s"SELECT $idCol, $t AS tbl, b$t AS bucket FROM qq").mkString(" UNION ALL ")
   }
+  private val SrpAnn = new SrpLsh(8, 4)      // q24
+  private val SrpNearDup = new SrpLsh(8, 16) // q26
 
   /** Bounded per-query cache of persisted INTERMEDIATES: a re-invocation
     * (repeated bench sweeps) unpersists the previous generation, so at
@@ -703,8 +714,8 @@ object Queries {
     * of exact top-1 neighbors from ~24% of the pairs; real embedding
     * corpora cluster far more strongly and recall rises accordingly. */
   private val q24 = {
-    import SrpLsh.{sTabs, dTabs, sStack}
-    val dUnion = SrpLsh.dUnion("vec_id")
+    import SrpAnn.{sTabs, dTabs, sStack}
+    val dUnion = SrpAnn.dUnion("vec_id")
     Q(
       "q24_ann_lsh",
       (s, dir) => {
@@ -883,11 +894,14 @@ object Queries {
 
   /** Embedding-cosine near-dup detection: the corpus is augmented with
     * perturbed copies (first quantized coordinate +10, vec_id+100000) so
-    * true near-dups exist; SRP buckets propose candidates (as q24), exact
-    * quantized cosine >= 0.995 confirms. */
+    * true near-dups exist; SRP buckets propose candidates, exact
+    * quantized cosine >= 0.995 confirms. Unlike q24's loose-angle ANN,
+    * the target pairs here agree on almost every hyperplane, so the
+    * tables use LONG 16-bit codes — short codes pass the fixture but go
+    * quadratic at 10x corpus (see SrpLsh scale note + BASELINE.md r3). */
   private val q26 = {
-    import SrpLsh.{sTabs, dTabs, sStack}
-    val dUnion = SrpLsh.dUnion("id")
+    import SrpNearDup.{sTabs, dTabs, sStack}
+    val dUnion = SrpNearDup.dUnion("id")
     val perturbSpark =
       "transform(sequence(1, 64), i -> CASE WHEN i = 1 THEN element_at(qv, i) + 10L ELSE element_at(qv, i) END)"
     val perturbDuck =
