@@ -65,6 +65,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // bench times the operators, not verification: skip the oracle
+    // aux-parquet dumps some queries write for the DuckDB compare
+    graft.queries.Queries.auxDumpEnabled = false
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "160000").toLong

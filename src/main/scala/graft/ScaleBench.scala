@@ -19,13 +19,9 @@ import graft.queries.Queries
   */
 object ScaleBench {
 
-  // splitmix64 finalizer (public constant set, same as CorpusGen)
-  private def mix(x: Long): Long = {
-    var z = x + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // splitmix64 finalizer, RAW variant (sign bit kept — call sites .abs);
+  // single definition: graft.util.SplitMix
+  private def mix(x: Long): Long = graft.util.SplitMix.finalizeMix(x)
 
   // word pool shaped like the driver's documents fixture: the q08-q11 /
   // q35 vocabularies (target/bycatch/markers) plus neutral filler

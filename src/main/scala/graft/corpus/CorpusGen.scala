@@ -56,14 +56,8 @@ object CorpusGen {
 
   def isPdfDoc(docId: Long): Boolean = docId % 10 >= 7 // 30% PDF
 
-  private def mix(x: Long): Long = {
-    // splitmix64 finalizer — deterministic, well-spread
-    var z = x + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    val r = z ^ (z >>> 31)
-    r & Long.MaxValue
-  }
+  // splitmix64 finalizer, non-negative (single definition: graft.util.SplitMix)
+  private def mix(x: Long): Long = graft.util.SplitMix.nonNeg(x)
 
   private final class Rng(seed: Long) {
     private var s = mix(seed)

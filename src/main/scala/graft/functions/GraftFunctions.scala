@@ -69,14 +69,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
-  /** splitmix64 finalizer — the same public mixing constant set used by
-    * java.util.SplittableRandom. */
-  @inline private def mix(x0: Long): Long = {
-    var z = x0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  /** splitmix64 finalizer (single definition: graft.util.SplitMix). */
+  @inline private def mix(x0: Long): Long = graft.util.SplitMix.finalizeMix(x0)
 
   def compute(text: String): Long = {
     val votes = new Array[Int](64)

@@ -139,11 +139,14 @@ object Identifiers {
     * exits on the first char. */
   private def anchoredIdShape(s: String): Boolean = {
     if (s.isEmpty) return false
+    // code-point loop: UNICODE_CHARACTER_CLASS \d matches supplementary-
+    // plane Nd digits (surrogate pairs), so the prescan must test the code
+    // point, not the UTF-16 char — else prescan and regex disagree
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (!(Character.isDigit(c) || c == '.' || c == 'v' || c == 'V' || c == '\n')) return false
-      i += 1
+      val cp = s.codePointAt(i)
+      if (!(Character.isDigit(cp) || cp == '.' || cp == 'v' || cp == 'V' || cp == '\n')) return false
+      i += Character.charCount(cp)
     }
     true
   }

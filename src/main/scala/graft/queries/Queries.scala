@@ -44,6 +44,27 @@ object Queries {
   private val AuxDir =
     new java.io.File("target/verify_aux").getAbsolutePath
 
+  /** Oracle aux-dump gate. Verify needs every non-SQL-derivable input
+    * materialized under AuxDir so the DuckDB oracle reads the SAME bytes;
+    * Bench and PlanDump time the operator, not verification I/O, and
+    * switch this off. Default ON so ad-hoc `queries(...)` calls stay
+    * oracle-compatible. */
+  @volatile private[graft] var auxDumpEnabled: Boolean = true
+
+  /** Verify mode: write `df` under AuxDir and return the read-back, so
+    * query and oracle consume byte-identical parquet. Bench mode: skip
+    * the round-trip, return `df` unchanged. */
+  private def auxTable(s: SparkSession, df: DataFrame, name: String): DataFrame =
+    if (auxDumpEnabled) {
+      df.write.mode("overwrite").parquet(s"$AuxDir/$name")
+      s.read.parquet(s"$AuxDir/$name")
+    } else df
+
+  /** Verify-mode-only side dump (for oracles that re-derive the result
+    * from the dumped input rather than feeding the query itself). */
+  private def auxDump(df: DataFrame, name: String): Unit =
+    if (auxDumpEnabled) df.write.mode("overwrite").parquet(s"$AuxDir/$name")
+
   // ---- shared token snippets (dialect pair) --------------------------
   // Python-semantics tokenizer (reference /root/reference/src/docscraper.py:176-186):
   // strip, lower, single-space split keeping empty tokens.
@@ -634,10 +655,10 @@ object Queries {
   private val q18 = Q(
     "q18_simhash",
     (s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("simhash"))
-        .write.mode("overwrite").parquet(s"$AuxDir/q18_simhash")
-      s.read.parquet(s"$AuxDir/q18_simhash")
+      auxTable(s,
+        t(s, dir, "documents")
+          .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("simhash")),
+        "q18_simhash")
         .select(col("doc_id"), col("simhash"),
           shiftrightunsigned(col("simhash"), 48).as("band16"))
     },
@@ -687,8 +708,7 @@ object Queries {
     "q20_binary_features",
     (s, _) => {
       val pages = ExtractPipeline.pages(s, 800)
-      pages.toDF().select("url", "html")
-        .write.mode("overwrite").parquet(s"$AuxDir/q20_pages")
+      auxDump(pages.toDF().select("url", "html"), "q20_pages")
       graft.multimodal.BinaryFeatures.stage(pages)
         .toDF()
         .selectExpr("url", "format", "n_bytes", "head_hex")
@@ -793,10 +813,10 @@ object Queries {
       import s.implicits._
       val extracted = ExtractPipeline.extract(
         ExtractPipeline.pages(s, 400), numPartitions = 0)
-      extracted.toDF().select("url", "title", "citation_spans")
-        .write.mode("overwrite").parquet(s"$AuxDir/q21_input")
       graft.pipeline.Stagers.explodeWithSource(
-        s.read.parquet(s"$AuxDir/q21_input"), "title", "citation_spans")
+        auxTable(s, extracted.toDF().select("url", "title", "citation_spans"),
+          "q21_input"),
+        "title", "citation_spans")
     },
     Some(s"""WITH t AS (SELECT title, citation_spans
         FROM read_parquet('$AuxDir/q21_input/*.parquet'))
@@ -816,13 +836,9 @@ object Queries {
       import s.implicits._
       val extracted = ExtractPipeline.extract(
         ExtractPipeline.pages(s, 400), numPartitions = 0)
-      extracted.toDF().select("url", "doi", "title")
-        .write.mode("overwrite").parquet(s"$AuxDir/q22_extracted")
-      graft.pipeline.Enrichment.dimensionsSnapshot(s, 400)
-        .write.mode("overwrite").parquet(s"$AuxDir/q22_snapshot")
       graft.pipeline.Enrichment.enrich(
-        s.read.parquet(s"$AuxDir/q22_extracted"),
-        s.read.parquet(s"$AuxDir/q22_snapshot"))
+        auxTable(s, extracted.toDF().select("url", "doi", "title"), "q22_extracted"),
+        auxTable(s, graft.pipeline.Enrichment.dimensionsSnapshot(s, 400), "q22_snapshot"))
     },
     Some(s"""SELECT e.doi, e.url, e.title, sn.times_cited,
         coalesce(sn.journal_title, 'N/A') AS journal_title,
@@ -1013,11 +1029,10 @@ object Queries {
       import s.implicits._
       val pages = ExtractPipeline.pages(s, 400)
       val today = java.time.LocalDate.of(2026, 8, 16)
-      pages.map { p =>
+      auxDump(pages.map { p =>
         val kind = if (graft.pdf.PdfDoc.isPdf(p.html)) "pdf" else "html"
         (p.url, kind, if (p.html == null) 0L else p.html.length.toLong)
-      }.toDF("url", "kind", "n_bytes")
-        .write.mode("overwrite").parquet(s"$AuxDir/q29_pages")
+      }.toDF("url", "kind", "n_bytes"), "q29_pages")
       graft.pipeline.Downloads.receipts(pages, today)
         .unionByName(graft.pipeline.Downloads.imageReceipts(pages, today))
         .selectExpr("downloader", "url", "success", "filepath", "n_bytes")
@@ -1093,11 +1108,11 @@ object Queries {
       // re-derived by DuckDB, while the snapshot CONTENT is defined in
       // exactly one place (a future edit cannot silently fork the spec).
       import graft.pipeline.Enrichment
-      Enrichment.docsFrame(s, dir).write.mode("overwrite").parquet(s"$AuxDir/q31_docs")
-      Enrichment.dimSnap(s, dir).write.mode("overwrite").parquet(s"$AuxDir/q31_dim")
-      Enrichment.biblioSnap(s, dir).write.mode("overwrite").parquet(s"$AuxDir/q31_bib")
-      Enrichment.abstractSnap(s, dir).write.mode("overwrite").parquet(s"$AuxDir/q31_abst")
-      Enrichment.figuresSnap(s, dir).write.mode("overwrite").parquet(s"$AuxDir/q31_figs")
+      auxDump(Enrichment.docsFrame(s, dir), "q31_docs")
+      auxDump(Enrichment.dimSnap(s, dir), "q31_dim")
+      auxDump(Enrichment.biblioSnap(s, dir), "q31_bib")
+      auxDump(Enrichment.abstractSnap(s, dir), "q31_abst")
+      auxDump(Enrichment.figuresSnap(s, dir), "q31_figs")
       Enrichment.enrichFull(s, dir)
     },
     Some(s"""SELECT d.doc_id, coalesce(d.doi, 'N/A') AS doi, d.title,
@@ -1136,8 +1151,8 @@ object Queries {
       val dim = graft.pipeline.Enrichment.dimSnap(s, dir)
         .selectExpr("doi", "times_cited", "pub_date_raw AS pub_date")
       val docs = graft.pipeline.Enrichment.docsFrame(s, dir).select("doc_id", "doi")
-      dim.write.mode("overwrite").parquet(s"$AuxDir/q32_dim")
-      docs.write.mode("overwrite").parquet(s"$AuxDir/q32_docs")
+      auxDump(dim, "q32_dim")
+      auxDump(docs, "q32_docs")
       val frame = counts.join(docs, Seq("doc_id")).join(broadcast(dim), Seq("doi"), "left")
       graft.pipeline.Casting.dataframeCasting(frame)
         .selectExpr("doc_id", "doi", "times_cited", "matching_terms",
@@ -1387,8 +1402,7 @@ object Queries {
           .formatDownloadLink(onclick, baseUrl).getOrElse("")
         (i, onclick, link)
       }.toDF("row_id", "onclick", "link")
-      rows.selectExpr("row_id", "onclick")
-        .write.mode("overwrite").parquet(s"$AuxDir/q36_onclick")
+      auxDump(rows.selectExpr("row_id", "onclick"), "q36_onclick")
       rows
     },
     Some(s"""SELECT row_id, onclick,
@@ -1425,8 +1439,7 @@ object Queries {
       }
       java.nio.file.Files.writeString(
         new java.io.File(root, "notes.txt").toPath, "not a pdf")
-      manifest.toDF("rel_path", "n_bytes")
-        .write.mode("overwrite").parquet(s"$AuxDir/q37_manifest")
+      auxDump(manifest.toDF("rel_path", "n_bytes"), "q37_manifest")
       graft.sources.Sources.pdfDirectory(s, root.toString)
         .selectExpr(
           "regexp_extract(path, 'q37_pdfs/(.*)$', 1) AS rel_path",

@@ -248,11 +248,22 @@ object GraftTable {
     } finally in.close()
     val files = "\"files\": \\[([^\\]]*)\\]".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse(
-        throw new IllegalStateException(s"snapshot-$snapshotId has no files manifest"))
+        throw new IllegalStateException(
+          s"snapshot-$snapshotId predates the files manifest (written by an " +
+          "older GraftTable version) — time travel needs the cumulative " +
+          "file list; re-run the pipeline to produce upgraded snapshots"))
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
-    require(files.nonEmpty, s"snapshot-$snapshotId records zero data files")
-    spark.read.option("basePath", s"$root/data")
-      .parquet(files.toSeq.map(f => s"$root/data/$f"): _*)
+    if (files.isEmpty) {
+      // a snapshot whose committed buckets all held zero pages is legal
+      // (runResumable writes zero-row lineage for empty buckets); its
+      // correct time-travel answer is an EMPTY table with the data schema
+      // — file columns first, partition column last, same as a real read
+      import spark.implicits._
+      spark.emptyDataset[ScoredDocWithBucket].toDF()
+        .select(col("doc.*"), col("bucket"))
+    } else
+      spark.read.option("basePath", s"$root/data")
+        .parquet(files.toSeq.map(f => s"$root/data/$f"): _*)
   }
 }
 

@@ -56,4 +56,19 @@ class GraftTableSpec extends AnyFunSuite with SparkTestBase {
       GraftTable.readSnapshot(spark, root, 99)
     }
   }
+
+  test("snapshot read: all-empty-bucket snapshot is an empty table, not an error") {
+    // runResumable legitimately commits waves whose buckets hold zero pages
+    // (it writes zero-row lineage for them); the snapshot then records
+    // "files": [] and its correct time-travel answer is an EMPTY table
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl_empty").toString
+    GraftTable.runResumable(spark, ExtractPipeline.pages(spark, 0, 2), root,
+      nBuckets = 4, bucketsPerWave = 2,
+      CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet, tasksPerWave = 2)
+    val snap = GraftTable.readSnapshot(spark, root, 1)
+    assert(snap.count() == 0)
+    assert(snap.columns.contains("url") && snap.columns.contains("bucket"))
+    // file columns first, partition column last — same order as a real read
+    assert(snap.columns.last == "bucket")
+  }
 }

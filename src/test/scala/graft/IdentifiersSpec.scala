@@ -62,6 +62,15 @@ class IdentifiersSpec extends AnyFunSuite with TableDrivenPropertyChecks {
     assert(Identifiers.extract("10.1234/ABC.123") == Some("10.1234/abc.123"))
   }
 
+  test("anchored-id prescan agrees with UNICODE \\d on supplementary-plane digits") {
+    // OSMANYA DIGIT ONE (U+104A1): Nd outside the BMP — a surrogate pair in
+    // UTF-16. UNICODE_CHARACTER_CLASS \d matches it by CODE POINT, so the
+    // char-by-char prescan must too, or prescan and regex disagree.
+    val d = new String(Character.toChars(0x104A1))
+    val id = d * 4 + "." + d * 4
+    assert(Identifiers.extract(id) == Some(id))
+  }
+
   test("standardize is idempotent on its own output (seeded property)") {
     val rnd = new scala.util.Random(7)
     (1 to 500).foreach { _ =>

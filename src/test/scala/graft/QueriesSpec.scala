@@ -31,6 +31,19 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bench mode (auxDumpEnabled=false) yields identical results to verify mode") {
+    // queries that round-trip their input through an aux-parquet dump for
+    // the oracle must return the SAME rows when bench mode skips the dump
+    def rows(name: String) =
+      run(name).collect().map(_.toSeq).toSet
+    val verifyMode = rows("q18_simhash")
+    Queries.auxDumpEnabled = false
+    try {
+      assert(rows("q18_simhash") == verifyMode)
+      assert(run("q21_citation_edges").count() > 0)
+    } finally Queries.auxDumpEnabled = true
+  }
+
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Queries.all.count(_.oracle.isDefined)
     // 38 queries, 35 oracled; q17/q19/q27 are the genuinely non-SQL ops
