@@ -87,6 +87,9 @@ object ScaleBench {
     "q27_winnow_fingerprints", "q34_ann_ivf", "q35_training_set")
 
   def main(args: Array[String]): Unit = {
+    // timing harness: no verification aux dumps in the timed legs (none
+    // of the Suite queries dump today, but the gate keeps that true)
+    Queries.auxDumpEnabled = false
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

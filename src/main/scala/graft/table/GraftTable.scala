@@ -254,6 +254,19 @@ object GraftTable {
           "file list; re-run the pipeline to produce upgraded snapshots"))
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
     if (files.isEmpty) {
+      // distinguish the legal zero-page snapshot from masked data loss:
+      // writeSnapshot skips committed bucket dirs that are MISSING at
+      // listing time, so "files": [] alongside non-zero recorded doc
+      // counts means committed data vanished — that must stay a loud
+      // error, not an empty table
+      val waveDocs = "\"bucket_docs\": \\{([^}]*)\\}".r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim).filter(_.nonEmpty)
+        .map(kv => kv.substring(kv.lastIndexOf(':') + 1).trim.toLong).sum
+      if (waveDocs > 0)
+        throw new IllegalStateException(
+          s"snapshot-$snapshotId records $waveDocs committed docs but zero " +
+          "data files — committed bucket directories are missing (data loss)")
       // a snapshot whose committed buckets all held zero pages is legal
       // (runResumable writes zero-row lineage for empty buckets); its
       // correct time-travel answer is an EMPTY table with the data schema

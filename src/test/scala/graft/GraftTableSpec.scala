@@ -71,4 +71,24 @@ class GraftTableSpec extends AnyFunSuite with SparkTestBase {
     // file columns first, partition column last — same order as a real read
     assert(snap.columns.last == "bucket")
   }
+
+  test("snapshot read: zero files with non-zero recorded docs is loud data loss") {
+    // writeSnapshot skips committed bucket dirs missing at listing time,
+    // so this manifest shape means committed data vanished — readSnapshot
+    // must throw, not return an empty table
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl_loss").toString
+    val dir = new java.io.File(s"$root/manifest"); dir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "snapshot-1.json").toPath,
+      """{"snapshot_id": 1,
+        |"wave": 0,
+        |"buckets": [3],
+        |"bucket_docs": {"3": 500},
+        |"files": [],
+        |"schema_id": 1}""".stripMargin)
+    val e = intercept[IllegalStateException] {
+      GraftTable.readSnapshot(spark, root, 1)
+    }
+    assert(e.getMessage.contains("data loss"))
+  }
 }
