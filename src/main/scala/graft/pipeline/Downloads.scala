@@ -74,24 +74,29 @@ object Downloads {
     * image url; file_id = url digest folded into the reference's
     * randint(1,255) range); ext = the url's last dot-suffix
     * (downloaders.py:306). */
+  /** One image receipt, named `{today}_{etag}_{file_id}.{ext}` exactly as
+    * above — shared by the pages path (imageReceipts) and the images MODE
+    * (Modes.images), so the naming spec exists once. */
+  def imageReceipt(pageUrl: String, imgUrl: String, prefix: String): DownloadReceipt = {
+    val ext = imgUrl.split('.').last
+    val etag = md5hex(imgUrl).substring(0, 16)
+    val fileId = Integer.parseInt(md5hex(pageUrl).substring(0, 2), 16) % 255 + 1
+    val payload = pngPayload(imgUrl)
+    DownloadReceipt(
+      downloader = "graft.ImagesDownloader",
+      url = imgUrl,
+      success = payload.nonEmpty,
+      filepath = s"${prefix}_${etag}_$fileId.$ext",
+      n_bytes = payload.length.toLong)
+  }
+
   def imageReceipts(pages: Dataset[PageRecord], today: java.time.LocalDate): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     val prefix = today.format(java.time.format.DateTimeFormatter.ofPattern("yyMMdd"))
     pages
       .filter(p => !graft.pdf.PdfDoc.isPdf(p.html))
-      .map { p =>
-        val imgUrl = s"${p.url}/figures/0.png"
-        val ext = imgUrl.split('.').last
-        val etag = md5hex(imgUrl).substring(0, 16)
-        val fileId = Integer.parseInt(md5hex(p.url).substring(0, 2), 16) % 255 + 1
-        val payload = pngPayload(imgUrl)
-        DownloadReceipt(
-          downloader = "graft.ImagesDownloader",
-          url = imgUrl,
-          success = payload.nonEmpty,
-          filepath = s"${prefix}_${etag}_$fileId.$ext",
-          n_bytes = payload.length.toLong)
-      }.toDF()
+      .map(p => imageReceipt(p.url, s"${p.url}/figures/0.png", prefix))
+      .toDF()
   }
 }

@@ -1,0 +1,238 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{PageRecord, ExtractedDoc, TermCount, DownloadReceipt}
+import graft.sources.Sources
+
+/** The reference's seven CLI modes (`SCISCRAPERS`,
+  * /root/reference/src/factories.py:95-103) as one composition function
+  * each, over this library's operators — the "switch path" for a
+  * sciscraper user: call the mode function instead of `sciscraper -m
+  * <mode>`.
+  *
+  * Every composition mirrors `SciScraper.__call__`
+  * (/root/reference/src/fetch.py:177-194): fetch → optional stage →
+  * remove empty columns → downcast. Network lookups (Dimensions,
+  * crosscite, SemanticScholar, Google Scholar) become LEFT joins against
+  * caller-supplied snapshot tables, and the sci-hub page fetch becomes a
+  * pluggable page function — the documented offline deviation (SURVEY.md
+  * §7.5); online deployments plug an HTTP fetch into the same seams.
+  *
+  * Each mode returns the final cleaned DataFrame; export it with
+  * `Sources.exportCsv(df, dir + "/" + Sources.exportName(prefix, today))`
+  * for the reference's dated CSV layout.
+  */
+object Modes {
+
+  /** The universal post-stage tail (/root/reference/src/fetch.py:188-193):
+    * drop all-empty columns, then downcast (int16 counts, datetime
+    * coerce). */
+  def finish(df: DataFrame): DataFrame =
+    Casting.dataframeCasting(Stagers.dropAllEmptyColumns(df))
+
+  /** Abstract-channel DocScraper scoring (is_pdf=False,
+    * /root/reference/src/docscraper.py:129-174) for the mode row builders.
+    * Row classes are TOP-LEVEL and FLAT (no nested struct): Janino cannot
+    * compile the serializer for a case class nested in this object, and
+    * the fallback would run the whole scored projection interpreted. */
+  private def scoreText(
+      text: String,
+      target: Set[String],
+      bycatch: Set[String]): graft.model.ScoredDoc =
+    Extractor.score(
+      ExtractedDoc("", "abstract", text, "", text, "", Nil,
+        text.length.toLong, ok = text.nonEmpty, error = ""),
+      target, bycatch)
+
+  /** `-m directory` (factories.py:96 — pdf_lookup + pdf_expanded):
+    * recursive PDF scan → per-doc extract + DOI cascade + score →
+    * Dimensions lookup on the extracted doi → cleanup. */
+  def directory(
+      spark: SparkSession,
+      pdfDir: String,
+      targetWords: Set[String],
+      bycatchWords: Set[String],
+      dimensions: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pages = Sources.pdfDirectory(spark, pdfDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        PageRecord(path, new java.sql.Timestamp(0L), bytes, "", "") }
+    val scored = ExtractPipeline.extractAndScore(
+      pages, numPartitions = 0, targetWords, bycatchWords).toDF()
+    finish(Enrichment.enrich(scored, dimensions))
+  }
+
+  /** `-m wordscore` (factories.py:97 — csv_lookup + abstracts stager):
+    * csv doi column → Dimensions lookup → abstract lookup by internal_id
+    * (the `docs[0].abstract` JSON path, webscrapers.py:73-80) → score the
+    * returned abstract. Enrichment fields and score ride in ONE row pass
+    * (SURVEY.md §2.3 row 20's one-pass shape), not a positional re-join. */
+  def wordscore(
+      spark: SparkSession,
+      csvPath: String,
+      dimensions: DataFrame,
+      abstracts: DataFrame,
+      targetWords: Set[String],
+      bycatchWords: Set[String]): DataFrame = {
+    import spark.implicits._
+    val enriched = Enrichment.enrich(
+        Sources.csvColumn(spark, csvPath, "doi"), dimensions)
+      .join(broadcast(abstracts), Seq("internal_id"), "left")
+      .select(
+        col("doi"), col("journal_title"), col("internal_id"),
+        col("times_cited").cast("long").as("times_cited"),
+        coalesce(
+          get_json_object(col("abstract_json"), "$.docs[0].abstract"),
+          lit("")).as("abstract_text"))
+      .as[(String, String, String, Option[Long], String)]
+    enriched.map { case (doi, journal, internal, cited, abs) =>
+        val s = scoreText(abs, targetWords, bycatchWords)
+        ModeWordscoreRow(doi, journal, internal, cited, abs,
+          s.matching_terms, s.bycatch_terms, s.total_word_count,
+          s.wordscore, s.target_terms_top_3, s.bycatch_terms_top_3)
+      }
+      .toDF()
+      .transform(finish)
+  }
+
+  /** `-m citations` (factories.py:98 — csv_lookup + citations stager):
+    * csv doi column → citation lookup → explode cited works carrying the
+    * source (stage_with_reference, stagers.py:55-125 — one Generate
+    * operator here). `citationsSnapshot` columns: (doi, title,
+    * citation_spans array<string>). */
+  def citations(
+      spark: SparkSession,
+      csvPath: String,
+      citationsSnapshot: DataFrame): DataFrame = {
+    val fetched = Sources.csvColumn(spark, csvPath, "doi")
+      .join(broadcast(citationsSnapshot), Seq("doi"), "left")
+    finish(Stagers.explodeWithSource(fetched, "title", "citation_spans"))
+  }
+
+  /** `-m download` (factories.py:99 — csv_lookup + download stager): per
+    * doi, resolve the sci-hub button page (`#buttons button:nth-child(1)`
+    * onclick, downloaders.py:215-230), clean the location.href link, emit
+    * a receipt with the dated deterministic filepath. `pageForDoi` is the
+    * fetch seam (offline: a synthesized page; online: an HTTP GET). */
+  def download(
+      spark: SparkSession,
+      csvPath: String,
+      pageForDoi: String => String,
+      baseUrl: String,
+      today: java.time.LocalDate): DataFrame = {
+    import spark.implicits._
+    val prefix = today.format(java.time.format.DateTimeFormatter.ofPattern("yyMMdd"))
+    Sources.csvColumn(spark, csvPath, "doi")
+      .as[String]
+      .map { doi =>
+        val dom = graft.html.HtmlParser.parse(pageForDoi(doi))
+        val onclick = graft.html.Selectors
+          .cssFirst(dom, "#buttons button:nth-child(1)")
+          .flatMap(_.attr("onclick")).getOrElse("")
+        val link = Downloads.cleanLink(onclick, baseUrl)
+        DownloadReceipt(
+          downloader = "graft.BulkDownloader",
+          url = link,
+          success = link.nonEmpty,
+          filepath = if (link.isEmpty) ""
+            else s"$prefix/${Downloads.md5hex(doi)}.pdf",
+          n_bytes = 0L) // payload fetch is the online half of the seam
+      }
+      .toDF()
+      .transform(finish)
+  }
+
+  /** `-m images` (factories.py:100 — csv_lookup + images stager): csv doi
+    * column → figure-url lookup → one receipt per figure with the
+    * reference's `{today}_{etag}_{file_id}.{ext}` naming
+    * (downloaders.py:346-366, determinized per SURVEY.md §2.7 row 47).
+    * `figuresSnapshot` columns: (doi, figures array<string>). */
+  def images(
+      spark: SparkSession,
+      csvPath: String,
+      figuresSnapshot: DataFrame,
+      today: java.time.LocalDate): DataFrame = {
+    import spark.implicits._
+    val prefix = today.format(java.time.format.DateTimeFormatter.ofPattern("yyMMdd"))
+    Sources.csvColumn(spark, csvPath, "doi")
+      .join(broadcast(figuresSnapshot), Seq("doi"), "left")
+      .select(col("doi"), explode_outer(col("figures")).as("img_url"))
+      .as[(String, Option[String])]
+      .map { case (doi, img) =>
+        img.map(u => Downloads.imageReceipt(doi, u, prefix)).getOrElse(
+          DownloadReceipt("graft.ImagesDownloader", "", success = false, "", 0L))
+      }
+      .toDF()
+      .transform(finish)
+  }
+
+  /** `-m fastscore` (factories.py:101 — abstract_lookup, no stager): csv
+    * abstract column scored directly, title column attached in the same
+    * row pass (the title_serializer attach, factories.py:44-52). */
+  def fastscore(
+      spark: SparkSession,
+      csvPath: String,
+      targetWords: Set[String],
+      bycatchWords: Set[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.option("header", "true").csv(csvPath)
+      .select(
+        coalesce(col("title").cast("string"), lit("")).as("title"),
+        coalesce(col("abstract").cast("string"), lit("")).as("abstract"))
+      .as[(String, String)]
+      .map { case (title, abs) =>
+        val s = scoreText(abs, targetWords, bycatchWords)
+        ModeFastscoreRow(title, abs,
+          s.matching_terms, s.bycatch_terms, s.total_word_count,
+          s.wordscore, s.target_terms_top_3, s.bycatch_terms_top_3)
+      }
+      .toDF()
+      .transform(finish)
+  }
+
+  /** `-m google` (factories.py:102 — google_lookup, no stager): one query
+    * per line of a txt file (serialize_from_txt, serials.py) → paged
+    * Scholar search against the snapshot. */
+  def google(
+      spark: SparkSession,
+      queriesTxtPath: String,
+      scholarSnapshot: DataFrame,
+      publicationType: String,
+      numArticles: Int): DataFrame = {
+    import spark.implicits._
+    val queries = spark.read.textFile(queriesTxtPath)
+      .map(_.trim).filter(_.nonEmpty)
+      .toDF("search_text")
+    finish(Scholar.search(queries, scholarSnapshot, publicationType, numArticles))
+  }
+}
+
+/** fastscore output row (DocumentResult over the abstract channel,
+  * /root/reference/src/docscraper.py:37-52, titles attached per
+  * factories.py:44-52). Flat on purpose — see Modes.scoreText. */
+final case class ModeFastscoreRow(
+    title: String,
+    abstract_text: String,
+    matching_terms: Int,
+    bycatch_terms: Int,
+    total_word_count: Int,
+    wordscore: Float,
+    target_terms_top_3: Seq[TermCount],
+    bycatch_terms_top_3: Seq[TermCount])
+
+/** wordscore output row: Dimensions enrichment fields + abstract score. */
+final case class ModeWordscoreRow(
+    doi: String,
+    journal_title: String,
+    internal_id: String,
+    times_cited: Option[Long],
+    abstract_text: String,
+    matching_terms: Int,
+    bycatch_terms: Int,
+    total_word_count: Int,
+    wordscore: Float,
+    target_terms_top_3: Seq[TermCount],
+    bycatch_terms_top_3: Seq[TermCount])
