@@ -136,6 +136,26 @@ class ModesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("map-shaped modes add no shuffle; enrichment joins stay broadcast") {
+    // fastscore/download are one typed map over the scan: an Exchange in
+    // their plan means a mode regression shuffled the corpus
+    val fs = Modes.fastscore(spark,
+      tmpFile("a.csv", "title,abstract\nT,x y\n"), Set("x"), Set.empty)
+    val fsPlan = fs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fsPlan.contains("Exchange"), s"fastscore plan shuffles:\n$fsPlan")
+    val dl = Modes.download(spark, tmpFile("d.csv", "doi\n10.5555/g2\n"),
+      doi => CorpusGen.buttonPage(2L), "https://b.example.org/", today)
+    val dlPlan = dl.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!dlPlan.contains("Exchange"), s"download plan shuffles:\n$dlPlan")
+    // citations' lookup joins broadcast (the snapshot is the small side)
+    import spark.implicits._
+    val cit = Modes.citations(spark, tmpFile("c.csv", "doi\n10.5555/a\n"),
+      Seq(("10.5555/a", "P", Seq("c"))).toDF("doi", "title", "citation_spans"))
+    assert(cit.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("google mode: txt query lines -> paged search, page cap applied") {
     val path = tmpFile("queries.txt", "topic 3\ntopic 4\n\n")
     val out = Modes.google(spark, path, graft.pipeline.Scholar.snapshot(spark), "j", 15)
