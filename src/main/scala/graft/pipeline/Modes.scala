@@ -128,11 +128,16 @@ object Modes {
     Sources.csvColumn(spark, csvPath, "doi")
       .as[String]
       .map { doi =>
-        val dom = graft.html.HtmlParser.parse(pageForDoi(doi))
-        val onclick = graft.html.Selectors
-          .cssFirst(dom, "#buttons button:nth-child(1)")
-          .flatMap(_.attr("onclick")).getOrElse("")
-        val link = Downloads.cleanLink(onclick, baseUrl)
+        // never-throw row contract (same as Extractor.extract): a failing
+        // page fetch or parse is a FAILED receipt, not a dead task — the
+        // reference's None-on-error path (downloaders.py:137-182)
+        val link = try {
+          val dom = graft.html.HtmlParser.parse(pageForDoi(doi))
+          val onclick = graft.html.Selectors
+            .cssFirst(dom, "#buttons button:nth-child(1)")
+            .flatMap(_.attr("onclick")).getOrElse("")
+          Downloads.cleanLink(onclick, baseUrl)
+        } catch { case _: Exception => "" }
         DownloadReceipt(
           downloader = "graft.BulkDownloader",
           url = link,

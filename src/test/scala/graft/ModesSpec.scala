@@ -117,6 +117,17 @@ class ModesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.contains(s"260816/${Downloads.md5hex("10.5555/g2")}.pdf"))
   }
 
+  test("download mode: a throwing page fetch is a failed receipt, not a dead task") {
+    val path = tmpFile("dois.csv", "doi\n10.5555/g2\n10.5555/boom\n")
+    val out = Modes.download(spark, path,
+      doi => if (doi.contains("boom")) throw new RuntimeException("http 503")
+             else CorpusGen.buttonPage(2L),
+      "https://b.example.org/", today)
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(rows.count(_.getAs[Boolean]("success")) == 1)
+  }
+
   test("images mode: one receipt per figure url, reference naming shape") {
     import spark.implicits._
     val figs = Seq(
