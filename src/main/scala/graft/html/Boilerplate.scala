@@ -90,8 +90,12 @@ object Boilerplate {
         cites += e
     }
 
-    val title = Option(firstH1).map(_.normalizedText).filter(_.nonEmpty)
-      .orElse(Option(firstTitleTag).map(_.normalizedText).filter(_.nonEmpty))
+    // contentText (not normalizedText) everywhere a structured field is
+    // built from a subtree: an inline <script>/<style> inside an h1 or a
+    // citation block must not leak code into the field — the same rule
+    // mainText already follows via block emission
+    val title = Option(firstH1).map(contentText).filter(_.nonEmpty)
+      .orElse(Option(firstTitleTag).map(contentText).filter(_.nonEmpty))
     val abstractText = Option(firstAbstract).map { e =>
       val texts = blockTexts(e)
       val body = texts match {
@@ -101,12 +105,12 @@ object Boilerplate {
       body.mkString("\n")
     }.filter(_.nonEmpty)
     val doi = doiMetaContent.flatMap(Identifiers.extract)
-      .orElse(Option(firstDoiMarker).flatMap(e => Identifiers.extract(e.normalizedText)))
+      .orElse(Option(firstDoiMarker).flatMap(e => Identifiers.extract(contentText(e))))
       .orElse(Identifiers.extract(mainText))
     val citeList = cites.toList
     val citations = citeList
       .filter(e => !citeList.exists(o => (o ne e) && isAncestor(e, o)))
-      .map(_.normalizedText).filter(_.nonEmpty)
+      .map(contentText).filter(_.nonEmpty)
 
     Extraction(
       mainText = mainText,
@@ -193,26 +197,46 @@ object Boilerplate {
     HElem.collapseWs(sb)
   }
 
-  /** Document-order normalized texts of the leaf blocks inside a
-    * container (the paragraphs of the main content). */
+  /** Document-order normalized texts of the blocks inside a container
+    * (the paragraphs of the main content). A block with no block children
+    * emits whole; a block that ALSO has direct text or inline children
+    * around its block children (mixed content — the norm on real pages)
+    * emits each inline run as its own block in document order, so
+    * interstitial prose is never silently dropped. */
   def blockTexts(container: HElem): List[String] = {
     val out = mutable.ListBuffer.empty[String]
+    def appendInline(el: HElem, sb: java.lang.StringBuilder): Unit =
+      el.children.foreach {
+        case t: HText  => sb.append(t.data).append(' ')
+        case c: HElem  => if (!DropTags.contains(c.tag)) appendInline(c, sb)
+        case _         => ()
+      }
     def walk(e: HElem): Unit = {
       if (DropTags.contains(e.tag)) return
-      val childBlocks = e.elemChildren.filter(c => BlockTags.contains(c.tag))
-      val isLeaf = BlockTags.contains(e.tag) && childBlocks.isEmpty
-      if (isLeaf) {
+      val hasBlockChild = e.elemChildren.exists(c => BlockTags.contains(c.tag))
+      if (!hasBlockChild) {
         val t = contentText(e)
         if (t.nonEmpty) out += t
       } else {
-        e.elemChildren.foreach(walk)
+        val sb = new java.lang.StringBuilder
+        def flushRun(): Unit = {
+          val t = HElem.collapseWs(sb)
+          if (t.nonEmpty) out += t
+          sb.setLength(0)
+        }
+        e.children.foreach {
+          case t: HText => sb.append(t.data).append(' ')
+          case c: HElem if DropTags.contains(c.tag) => ()
+          case c: HElem if BlockTags.contains(c.tag) ||
+              c.elemChildren.exists(b => BlockTags.contains(b.tag)) =>
+            flushRun(); walk(c)
+          case c: HElem => appendInline(c, sb)
+          case _ => ()
+        }
+        flushRun()
       }
     }
-    val selfBlocks = container.elemChildren.filter(c => BlockTags.contains(c.tag))
-    if (selfBlocks.isEmpty) {
-      val t = contentText(container)
-      if (t.nonEmpty) out += t
-    } else container.elemChildren.foreach(walk)
+    walk(container)
     out.toList
   }
 
@@ -233,8 +257,8 @@ object Boilerplate {
   // --- structured-field heuristics ---------------------------------------
 
   def findTitle(root: HElem): Option[String] = {
-    Selectors.cssFirst(root, "h1").map(_.normalizedText).filter(_.nonEmpty)
-      .orElse(Selectors.cssFirst(root, "title").map(_.normalizedText).filter(_.nonEmpty))
+    Selectors.cssFirst(root, "h1").map(contentText).filter(_.nonEmpty)
+      .orElse(Selectors.cssFirst(root, "title").map(contentText).filter(_.nonEmpty))
   }
 
   def findAbstract(root: HElem): Option[String] = {
@@ -263,7 +287,7 @@ object Boilerplate {
         root.descendants.find { e =>
           (e.attrs.getOrElse("class", "") + e.attrs.getOrElse("id", ""))
             .toLowerCase(java.util.Locale.ROOT).contains("doi")
-        }.flatMap(e => Identifiers.extract(e.normalizedText))
+        }.flatMap(e => Identifiers.extract(contentText(e)))
       }
       .orElse(Identifiers.extract(mainText))
   }
@@ -278,7 +302,7 @@ object Boilerplate {
     }.toList
     // keep only leaf-most citation nodes (avoid container duplication)
     viaClass.filter(e => !viaClass.exists(o => (o ne e) && isAncestor(e, o)))
-      .map(_.normalizedText).filter(_.nonEmpty)
+      .map(contentText).filter(_.nonEmpty)
   }
 
   private def isAncestor(anc: HElem, node: HElem): Boolean = {

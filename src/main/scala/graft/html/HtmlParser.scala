@@ -25,6 +25,19 @@ object HtmlParser {
     "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr",
     "main", "nav", "ol", "p", "pre", "section", "table", "ul")
 
+  /** Implied end tags beyond <p> (HTML5 tree construction): opening tag ->
+    * (open siblings it closes, scope boundaries that stop the search).
+    * Unclosed <li>/<td>/<tr>/<dt>/<dd> are ubiquitous in real-world HTML;
+    * without this they nest into each other and blockTexts would drop
+    * every sibling's text except the last. */
+  private val ImpliedClosers: Map[String, (Set[String], Set[String])] = Map(
+    "li" -> ((Set("li"), Set("ul", "ol"))),
+    "dt" -> ((Set("dt", "dd"), Set("dl"))),
+    "dd" -> ((Set("dt", "dd"), Set("dl"))),
+    "td" -> ((Set("td", "th"), Set("tr", "table"))),
+    "th" -> ((Set("td", "th"), Set("tr", "table"))),
+    "tr" -> ((Set("tr"), Set("table"))))
+
   /** Case-insensitive close-tag search (needle starts with '<', so the
     * scan only regionMatches at '<' positions) — avoids materializing a
     * lowercase copy of every page just for rawtext handling. A match must
@@ -78,7 +91,12 @@ object HtmlParser {
           flushText()
           val end = html.indexOf('>', i)
           val stop = if (end < 0) n else end
-          val tag = html.substring(i + 2, stop).trim.toLowerCase(java.util.Locale.ROOT)
+          // per HTML5, end-tag attributes and a trailing slash are parsed
+          // and DISCARDED ('</div class="x">' still closes the div) — the
+          // name is everything up to the first whitespace or '/'
+          val tag = html.substring(i + 2, stop).trim
+            .takeWhile(ch => !ch.isWhitespace && ch != '/')
+            .toLowerCase(java.util.Locale.ROOT)
           // pop to the matching open tag if present; ignore stray closers
           if (stack.exists(e => e.tag == tag)) {
             while (stack.top.tag != tag) stack.pop()
@@ -95,6 +113,16 @@ object HtmlParser {
             if (stack.exists(_.tag == "p")) {
               while (stack.top.tag != "p") stack.pop()
               if (stack.size > 1) stack.pop()
+            }
+          }
+          ImpliedClosers.get(tag).foreach { case (closees, bounds) =>
+            // close an open same-family sibling, but never across the
+            // enclosing list/table boundary (stack index 0 = top)
+            val idx = stack.indexWhere(e =>
+              closees.contains(e.tag) || bounds.contains(e.tag))
+            if (idx >= 0 && closees.contains(stack(idx).tag)) {
+              var popped = 0
+              while (popped <= idx && stack.size > 1) { stack.pop(); popped += 1 }
             }
           }
           stack.top.append(elem)
@@ -431,6 +459,27 @@ object Entities {
     "zwj" -> "‍",
     "zwnj" -> "‌")
 
+  /** HTML5 numeric-character-reference table: code points 0x80-0x9F map
+    * through Windows-1252 (the spec's compatibility table) instead of
+    * emitting C1 control characters — '&#146;'-style Word-exported smart
+    * quotes are ubiquitous on legacy pages and would otherwise land as
+    * invisible junk bytes in extracted text. Unmapped C1 points (0x81,
+    * 0x8D, 0x8F, 0x90, 0x9D) pass through per the same table. */
+  private val C1Map: Map[Int, Char] = Map(
+    0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+    0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+    0x89 -> '‰', 0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+    0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+    0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+    0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+    0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
+
+  private def numericRef(cp: Int): Array[Char] =
+    C1Map.get(cp) match {
+      case Some(ch) => Array(ch)
+      case None     => Character.toChars(cp)
+    }
+
   def decode(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new StringBuilder(s.length)
@@ -443,10 +492,10 @@ object Entities {
         if (semi > i && semi - i <= 10) {
           val body = s.substring(i + 1, semi)
           if (body.startsWith("#x") || body.startsWith("#X")) {
-            try { sb.appendAll(Character.toChars(Integer.parseInt(body.substring(2), 16))); i = semi + 1 }
+            try { sb.appendAll(numericRef(Integer.parseInt(body.substring(2), 16))); i = semi + 1 }
             catch { case _: Exception => sb += c; i += 1 }
           } else if (body.startsWith("#")) {
-            try { sb.appendAll(Character.toChars(Integer.parseInt(body.substring(1)))); i = semi + 1 }
+            try { sb.appendAll(numericRef(Integer.parseInt(body.substring(1)))); i = semi + 1 }
             catch { case _: Exception => sb += c; i += 1 }
           } else Named.get(body) match {
             case Some(rep) => sb.append(rep); i = semi + 1

@@ -155,11 +155,18 @@ final class PdfDoc(data: Array[Byte]) {
     * values as decoded strings. Reference consumer:
     * /root/reference/src/doifrompdf.py:114-126. */
   def metadata: Map[String, String] = {
+    // outline (bookmark) items also carry /Title — a dict with tree-link
+    // keys is navigation, not document metadata, and must not be promoted
+    // to the Info dict by the fallback
+    def looksLikeOutline(d: PDict): Boolean =
+      Seq("Parent", "First", "Next", "Prev", "Dest", "A", "Kids")
+        .exists(k => d.get(k).isDefined)
     val infoDict = trailerDict.flatMap(_.get("Info")).flatMap(resolveDict)
       .orElse {
         // fallback: any object that looks like an info dict
         objects.values.collectFirst {
-          case d: PDict if d.get("Producer").isDefined || d.get("Title").isDefined => d
+          case d: PDict if (d.get("Producer").isDefined || d.get("Title").isDefined) &&
+              !looksLikeOutline(d) => d
         }
       }
     infoDict match {
@@ -257,9 +264,19 @@ final class PdfDoc(data: Array[Byte]) {
       case Some(PArr(xs))  => xs.collect { case PName(nm) => nm }.toList
       case _               => Nil
     }
-    filters.foldLeft(st.raw) { (bytes, f) =>
+    // /DecodeParms (or its /DP alias) parallels /Filter: a single dict or
+    // an array with one entry per filter
+    val parms: List[Option[PDict]] =
+      st.dict.get("DecodeParms").orElse(st.dict.get("DP")).map(res) match {
+        case Some(d: PDict) => List(Some(d))
+        case Some(PArr(xs)) =>
+          xs.map(x => res(x) match { case d: PDict => Some(d); case _ => None }).toList
+        case _ => Nil
+      }
+    filters.zipWithIndex.foldLeft(st.raw) { case (bytes, (f, fi)) =>
       f match {
-        case "FlateDecode" => inflate(bytes)
+        case "FlateDecode" =>
+          applyPredictor(inflate(bytes), parms.lift(fi).flatten, res)
         case "ASCIIHexDecode" =>
           val hex = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
             .takeWhile(_ != '>').filterNot(c => c.isWhitespace)
@@ -267,6 +284,78 @@ final class PdfDoc(data: Array[Byte]) {
           padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
         case _ => bytes // unsupported filter: pass through
       }
+    }
+  }
+
+  /** /DecodeParms predictors (ISO 32000-1 §7.4.4.4). Real-world ObjStm and
+    * XRef streams are near-always FlateDecode + PNG Predictor 12; without
+    * undoing the predictor the inflated bytes are row-filter-coded garbage
+    * and every object in the stream is silently dropped. PNG predictors
+    * (>= 10) carry a per-row filter byte; TIFF predictor 2 is horizontal
+    * differencing. */
+  private def applyPredictor(
+      data: Array[Byte], parm: Option[PDict], res: PObj => PObj): Array[Byte] = {
+    def intOf(key: String, dflt: Int): Int =
+      parm.flatMap(_.get(key).map(res)) match {
+        case Some(PNum(v)) => v.toInt
+        case _             => dflt
+      }
+    val predictor = intOf("Predictor", 1)
+    if (predictor <= 1 || data.isEmpty) return data
+    val colors = intOf("Colors", 1)
+    val bpc = intOf("BitsPerComponent", 8)
+    val columns = intOf("Columns", 1)
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = math.max(1, (columns * colors * bpc + 7) / 8)
+    if (predictor == 2) {
+      if (bpc != 8) return data // sub-byte TIFF differencing: not seen in practice
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = r + bpp
+        while (i < r + rowLen && i < out.length) {
+          out(i) = (out(i) + out(i - bpp)).toByte; i += 1
+        }
+        r += rowLen
+      }
+      out
+    } else {
+      // PNG row filters 0-4 (None/Sub/Up/Average/Paeth)
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      val stride = rowLen + 1
+      val nRows = data.length / stride
+      val out = new Array[Byte](nRows * rowLen)
+      val prev = new Array[Byte](rowLen)
+      var r = 0
+      while (r < nRows) {
+        val ft = data(r * stride) & 0xff
+        val src = r * stride + 1
+        val dst = r * rowLen
+        var i = 0
+        while (i < rowLen) {
+          val raw = data(src + i) & 0xff
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+          val up = prev(i) & 0xff
+          val upLeft = if (i >= bpp) prev(i - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + ((left + up) / 2)
+            case 4 => raw + paeth(left, up, upLeft)
+            case _ => raw
+          }
+          out(dst + i) = v.toByte
+          i += 1
+        }
+        System.arraycopy(out, dst, prev, 0, rowLen)
+        r += 1
+      }
+      out
     }
   }
 

@@ -51,10 +51,9 @@ object PyDictParser {
   }
 
   /** Python str() of the supported values (what lands in the dataframe).
-    * Ints render exactly (BigInt, no double round-trip); floats keep the
-    * ".0" Python shows for integral values (str(1.0) == "1.0"). Extreme
-    * exponents may format as 1.0E20 vs Python's 1e+20 — out of scope for
-    * bibliographic cells. */
+    * Ints render exactly (BigInt, no double round-trip); floats follow
+    * CPython's float_repr formatting (see pyFloatStr); nested strings and
+    * dict keys follow CPython's repr quoting rules (see pyRepr). */
   def render(v: PyVal): String = v match {
     case PyStr(s)   => s
     case PyInt(n)   => n.toString
@@ -62,16 +61,106 @@ object PyDictParser {
       if (d.isNaN) "nan"
       else if (d.isInfinity) { if (d > 0) "inf" else "-inf" }
       else if (d == math.floor(d) && math.abs(d) < 1e16) s"${d.toLong}.0"
-      else d.toString
+      else pyFloatStr(d)
     case PyBool(b)  => if (b) "True" else "False"
     case PyNone     => "None"
     case PyList(xs) => xs.map(repr).mkString("[", ", ", "]")
-    case PyDict(m)  => m.map { case (k, x) => s"'$k': ${repr(x)}" }.mkString("{", ", ", "}")
+    case PyDict(m)  => m.map { case (k, x) => s"${pyRepr(k)}: ${repr(x)}" }.mkString("{", ", ", "}")
   }
 
   private def repr(v: PyVal): String = v match {
-    case PyStr(s) => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case PyStr(s) => pyRepr(s)
     case other    => render(other)
+  }
+
+  /** CPython repr of a str: single quotes unless the string contains a
+    * single quote and no double quote (then double quotes, apostrophes
+    * unescaped); backslash, the chosen quote, \n \r \t, and other
+    * C0/0x7f control chars escape; printable non-ASCII stays raw. */
+  private def pyRepr(s: String): String = {
+    val hasSingle = s.indexOf('\'') >= 0
+    val hasDouble = s.indexOf('"') >= 0
+    val q = if (hasSingle && !hasDouble) '"' else '\''
+    val sb = new StringBuilder(s.length + 2)
+    sb += q
+    s.foreach {
+      case '\\'            => sb.append("\\\\")
+      case c if c == q     => sb += '\\' += q
+      case '\n'            => sb.append("\\n")
+      case '\r'            => sb.append("\\r")
+      case '\t'            => sb.append("\\t")
+      case c if c < 0x20 || c == 0x7f => sb.append(f"\\x${c.toInt}%02x")
+      case c               => sb += c
+    }
+    sb += q
+    sb.toString
+  }
+
+  /** CPython str(float) for non-integral values: shortest round-trip
+    * digits (Java's Double.toString provides them) re-formatted with
+    * float_repr's rules — positional while -4 <= exp10 < 16, else
+    * scientific `e±EE` with at least two exponent digits. Java's own
+    * thresholds (1e7 / 1e-3) switch to scientific far earlier, which
+    * would mismatch Python for everyday magnitudes like timestamps. */
+  private def pyFloatStr(d: Double): String = {
+    val sign = if (d < 0) "-" else ""
+    val abs = math.abs(d)
+    val j = java.lang.Double.toString(abs)
+    val (mant, exp) = j.indexOf('E') match {
+      case -1 => (j, 0)
+      case k  => (j.substring(0, k), j.substring(k + 1).toInt)
+    }
+    val dot = mant.indexOf('.')
+    val digits0 = mant.substring(0, dot) + mant.substring(dot + 1)
+    val lead = digits0.indexWhere(_ != '0') match { case -1 => 0; case k => k }
+    // significant digits, first at place 10^e10
+    val sigAll = digits0.substring(lead)
+    val sigJ = {
+      val t = sigAll.reverse.dropWhile(_ == '0').reverse
+      if (t.isEmpty) "0" else t
+    }
+    val e10J = (dot - 1 - lead) + exp
+    // Java 17's Double.toString is not always SHORTEST round-trip
+    // (JDK-4511638: 9.999999999999999E22 where 1E23 parses identically;
+    // CPython's repr is shortest) — shorten to the first prefix that
+    // still parses back to the same double, trying the correctly-rounded
+    // candidate first
+    def stripZeros(s: String): String = {
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.isEmpty) "0" else t
+    }
+    def shorten(): (String, Int) = {
+      var k = 1
+      while (k < sigJ.length) {
+        val downStr = stripZeros(sigJ.substring(0, k))
+        val upBig = (BigInt(sigJ.substring(0, k)) + 1).toString
+        val up =
+          if (upBig.length > k) (stripZeros(upBig), e10J + 1)
+          else (stripZeros(upBig), e10J)
+        val down = (downStr, e10J)
+        val order = if (sigJ.charAt(k) >= '5') Seq(up, down) else Seq(down, up)
+        order.foreach { case (cand, ce) =>
+          if (java.lang.Double.parseDouble(s"0.${cand}E${ce + 1}") == abs)
+            return (cand, ce)
+        }
+        k += 1
+      }
+      (sigJ, e10J)
+    }
+    val (sig, e10) = shorten()
+    if (e10 >= -4 && e10 < 16) {
+      if (e10 >= sig.length - 1)
+        sign + sig + "0" * (e10 - sig.length + 1) + ".0"
+      else if (e10 >= 0)
+        sign + sig.substring(0, e10 + 1) + "." + sig.substring(e10 + 1)
+      else
+        sign + "0." + "0" * (-e10 - 1) + sig
+    } else {
+      val mantissa =
+        if (sig.length > 1) sig.substring(0, 1) + "." + sig.substring(1) else sig
+      val es = if (e10 < 0) "-" else "+"
+      sign + mantissa + "e" + es + f"${math.abs(e10)}%02d"
+    }
   }
 
   private final class ParseError extends RuntimeException

@@ -145,4 +145,53 @@ class HtmlSpec extends AnyFunSuite {
     val d = HtmlParser.parse("<div><p>one<p>two</span></div>")
     assert(Selectors.css(d, "p").length == 2)
   }
+
+  test("unclosed li/td/tr get implied end tags; no sibling text is lost") {
+    val d = HtmlParser.parse("<ul><li>one<li>two<li>three</ul>")
+    assert(Selectors.css(d, "ul > li").length == 3)
+    assert(Boilerplate.blockTexts(Selectors.cssFirst(d, "ul").get) ==
+      List("one", "two", "three"))
+    val t = HtmlParser.parse(
+      "<table><tr><td>a<td>b<tr><td>c</table>")
+    assert(Selectors.css(t, "tr").length == 2)
+    assert(Selectors.css(t, "td").length == 3)
+    // the boundary holds: a li inside a NESTED list never closes the outer li
+    val nested = HtmlParser.parse("<ul><li>outer<ul><li>inner</ul></li></ul>")
+    assert(Selectors.css(nested, "ul > li > ul > li").length == 1)
+  }
+
+  test("close tags with attributes or trailing slash still close") {
+    val d = HtmlParser.parse("""<div><p>a</p></div class="x"><p>b</p>""")
+    // the decorated close ends the div, so the second p is its SIBLING
+    assert(Selectors.css(d, "div > p").length == 1)
+    assert(Selectors.css(d, "p").length == 2)
+  }
+
+  test("C1 numeric charrefs map through Windows-1252 (HTML5 table)") {
+    val d = HtmlParser.parse("<p>it&#146;s &#147;quoted&#148; &#151; ok</p>")
+    assert(Selectors.cssFirst(d, "p").get.normalizedText ==
+      "it’s “quoted” — ok")
+    // unmapped C1 points pass through; normal refs unaffected
+    assert(HtmlParser.parse("<p>&#65;&#x42;</p>")
+      .descendants.next().normalizedText == "AB")
+  }
+
+  test("mixed content: direct text around block children is emitted, in order") {
+    val d = HtmlParser.parse(
+      "<main>Intro sentence before the list.<p>para one</p>tail <b>note</b><p>para two</p></main>")
+    val main = Selectors.cssFirst(d, "main").get
+    assert(Boilerplate.blockTexts(main) ==
+      List("Intro sentence before the list.", "para one", "tail note", "para two"))
+  }
+
+  test("inline script/style never leak into title or citation spans") {
+    val page = """<html><body>
+      <h1>Real Title <script>track("h1");</script></h1>
+      <main><p>Body text long enough to be the main content of this page, clearly.</p></main>
+      <div class="ref">Smith 2020 <script>clickRef(1);</script></div>
+      </body></html>"""
+    val ex = Boilerplate.extract(page)
+    assert(ex.title.contains("Real Title"))
+    assert(ex.citationSpans == List("Smith 2020"))
+  }
 }

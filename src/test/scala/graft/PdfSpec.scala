@@ -49,6 +49,81 @@ class PdfSpec extends AnyFunSuite {
     assert(graft.pdf.PdfText.extractText(bytes) == "hi")
   }
 
+  test("FlateDecode with PNG predictor (DecodeParms) decodes content streams") {
+    // real-world ObjStm/XRef/content streams are near-always
+    // /FlateDecode + /Predictor 12; encode a content stream with all four
+    // PNG row filters and make sure the text interpreter sees clean bytes
+    val content0 = "BT /F1 12 Tf 72 700 Td (pred) Tj ET"
+    val columns = 4
+    val content = content0 + " " * ((columns - content0.length % columns) % columns)
+    val raw = content.getBytes("ISO-8859-1")
+    val bpp = 1
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val rows = raw.grouped(columns).toArray
+    val enc = new java.io.ByteArrayOutputStream
+    var prev = new Array[Byte](columns)
+    rows.zipWithIndex.foreach { case (row, rIdx) =>
+      val ft = rIdx % 4 + 1 // cycle Sub, Up, Average, Paeth
+      enc.write(ft)
+      var i = 0
+      while (i < row.length) {
+        val cur = row(i) & 0xff
+        val left = if (i >= bpp) row(i - bpp) & 0xff else 0
+        val up = prev(i) & 0xff
+        val ul = if (i >= bpp) prev(i - bpp) & 0xff else 0
+        val predicted = ft match {
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        enc.write((cur - predicted) & 0xff)
+        i += 1
+      }
+      prev = row
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(enc.toByteArray); deflater.finish()
+    val zbuf = new Array[Byte](enc.size() * 2 + 64)
+    val zlen = deflater.deflate(zbuf)
+    deflater.end()
+    val payload = new String(java.util.Arrays.copyOf(zbuf, zlen), "ISO-8859-1")
+    val bytes = ("%PDF-1.5\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      s"4 0 obj << /Length $zlen /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $columns >> >> stream\n$payload\nendstream endobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Courier >> endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfText.extractText(bytes) == "pred")
+  }
+
+  test("outline items are not mistaken for the Info dict") {
+    // no trailer /Info; an outline (bookmark) dict also carries /Title but
+    // has tree-link keys — the fallback must skip it
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >> endobj\n" +
+      "4 0 obj << /Title (Chapter 1) /Parent 5 0 R /Next 6 0 R >> endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(new PdfDoc(bytes).metadata.isEmpty)
+    // a standalone Title-only dict (a real loose Info dict) still matches
+    val withInfo = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >> endobj\n" +
+      "4 0 obj << /Title (Real Title) >> endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(new PdfDoc(withInfo).metadata.get("Title").contains("Real Title"))
+  }
+
   test("writer -> parser round trip is byte-identical (uncompressed)") {
     val bytes = PdfWriter.build(pages, Map("Title" -> "A Study", "doi" -> "10.4242/test.001"))
     assert(PdfDoc.isPdf(bytes))

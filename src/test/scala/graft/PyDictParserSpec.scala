@@ -55,4 +55,46 @@ class PyDictParserSpec extends AnyFunSuite {
     // duplicate keys: first position, last value (Python semantics)
     assert(PyDictParser.extractKey("{'a': 1, 'a': 2}", "a") == "2")
   }
+
+  test("CPython float_repr formatting (goldens from python3 repr)") {
+    def f(lit: String) = PyDictParser.extractKey(s"{'v': $lit}", "v")
+    // positional window is -4 <= exp10 < 16 (Java's own toString switches
+    // to scientific at 1e7/1e-3 and would mismatch everyday magnitudes)
+    assert(f("12345678.5") == "12345678.5")
+    assert(f("1786916130.348") == "1786916130.348")
+    assert(f("0.0001") == "0.0001")
+    assert(f("0.0025") == "0.0025")
+    assert(f("123.456") == "123.456")
+    assert(f("-12345678.5") == "-12345678.5")
+    assert(f("1e15") == "1000000000000000.0")
+    assert(f("3.141592653589793") == "3.141592653589793")
+    assert(f("0.30000000000000004") == "0.30000000000000004")
+    // scientific beyond the window: lowercase e, sign, >= 2 exponent digits
+    assert(f("0.00001") == "1e-05")
+    assert(f("2e-8") == "2e-08")
+    assert(f("1e16") == "1e+16")
+    assert(f("1.5e16") == "1.5e+16")
+    assert(f("9.999999999999999e22") == "1e+23") // shortest round-trip
+    assert(f("1e100") == "1e+100")
+  }
+
+  test("CPython repr quoting for nested strings and keys (goldens from python3)") {
+    // apostrophe-only strings switch to double quotes, apostrophe unescaped
+    assert(PyDictParser.extractKey("{'authors': [\"O'Brien\", 'Smith']}", "authors") ==
+      "[\"O'Brien\", 'Smith']")
+    // double-quote-only strings keep single quotes
+    assert(PyDictParser.extractKey("{'t': ['has \"dq\" only']}", "t") ==
+      "['has \"dq\" only']")
+    // both quote kinds: single quotes, apostrophe escaped
+    assert(PyDictParser.extractKey("{'t': ['both \\' and \"']}", "t") ==
+      "['both \\' and \"']")
+    // control chars escape as \n \t \xNN
+    assert(PyDictParser.extractKey("{'t': ['line\\nbreak\\ttab']}", "t") ==
+      "['line\\nbreak\\ttab']")
+    assert(PyDictParser.extractKey("{'t': ['ctrl\\x01char']}", "t") ==
+      "['ctrl\\x01char']")
+    // dict KEYS follow the same quoting rules
+    assert(PyDictParser.extractKey("{'d': {\"it's\": 1.5}}", "d") ==
+      "{\"it's\": 1.5}")
+  }
 }
