@@ -21,14 +21,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("half_float"),
       info(classOf[HalfFloat], "half_float"),
-      (exprs: Seq[Expression]) => HalfFloat(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        GraftFunctions.requireArity("half_float", exprs, 1)
+        HalfFloat(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info(classOf[SimHash64], "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        GraftFunctions.requireArity("simhash64", exprs, 1)
+        SimHash64(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("dot_i64"),
       info(classOf[DotI64], "dot_i64"),
-      (exprs: Seq[Expression]) => DotI64(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        GraftFunctions.requireArity("dot_i64", exprs, 2)
+        DotI64(exprs(0), exprs(1))
+      }))
   }
 }

@@ -161,9 +161,23 @@ object GraftFunctions {
     Shim.column(DotI64(Shim.expression(a), Shim.expression(b)))
 
   /** Register for SQL use: half_float(x), simhash64(s), dot_i64(a, b). */
+  /** Wrong-arity SQL calls must fail analysis with a named message, not a
+    * raw NoSuchElementException from exprs.head. */
+  private[functions] def requireArity(
+      name: String, exprs: Seq[_], n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+
   def registerAll(spark: SparkSession): Unit = {
-    Shim.registerFunction(spark, "half_float", exprs => HalfFloat(exprs.head))
-    Shim.registerFunction(spark, "simhash64", exprs => SimHash64(exprs.head))
-    Shim.registerFunction(spark, "dot_i64", exprs => DotI64(exprs(0), exprs(1)))
+    Shim.registerFunction(spark, "half_float", exprs => {
+      requireArity("half_float", exprs, 1); HalfFloat(exprs.head)
+    })
+    Shim.registerFunction(spark, "simhash64", exprs => {
+      requireArity("simhash64", exprs, 1); SimHash64(exprs.head)
+    })
+    Shim.registerFunction(spark, "dot_i64", exprs => {
+      requireArity("dot_i64", exprs, 2); DotI64(exprs(0), exprs(1))
+    })
   }
 }

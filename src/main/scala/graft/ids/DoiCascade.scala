@@ -26,12 +26,21 @@ object DoiCascade {
       .flatMap(k => metadata.get(k).filter(_.nonEmpty).map(v => DoiResult(v, k)))
       .nextOption()
 
-  def fromInfoValues(metadata: Map[String, String]): Option[DoiResult] =
-    metadata.iterator
-      .filter { case (k, _) => k != "wps-journaldoi" } // :101 (reference excludes "/wps-journaldoi")
-      .flatMap { case (_, v) => Identifiers.extract(v) }
-      .map(id => DoiResult(id, "text"))
-      .nextOption()
+  /** Scan every Info-dict value — with TWO reference quirks kept
+    * (doifrompdf.py:95-111): (a) the loop OVERWRITES its result every
+    * iteration (`result = result` on a hit, `result = None` on a miss),
+    * so only the LAST value's outcome survives; (b) the exclusion of
+    * '/wps-journaldoi' is dead code there — pdfplumber metadata keys are
+    * slash-stripped, so the comparison never matches and the value IS
+    * scanned. Metadata iterates in insertion order (VectorMap from
+    * PdfDoc), matching Python dict order. */
+  def fromInfoValues(metadata: Map[String, String]): Option[DoiResult] = {
+    var result: Option[DoiResult] = None
+    metadata.foreach { case (_, v) =>
+      result = Identifiers.extract(v).map(id => DoiResult(id, "text"))
+    }
+    result
+  }
 
   def fromText(preprint: String): Option[DoiResult] =
     Identifiers.extract(preprint).map(id => DoiResult(id, "text"))

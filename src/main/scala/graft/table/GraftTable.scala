@@ -50,7 +50,15 @@ object GraftTable {
 
   def completedBuckets(spark: SparkSession, root: String): Set[Int] = {
     val lineagePath = s"$root/lineage"
-    if (!fs(spark, root).exists(new org.apache.hadoop.fs.Path(lineagePath))) Set.empty
+    val hfs = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(lineagePath)
+    // a crash during the very FIRST lineage write can leave the directory
+    // existing with only committer droppings (_temporary) and no data
+    // file; that is "nothing committed", not a wedged table — reading it
+    // would throw schema-inference errors on every subsequent resume
+    val hasData = hfs.exists(p) &&
+      hfs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    if (!hasData) Set.empty
     else {
       import spark.implicits._
       spark.read.parquet(lineagePath).select("bucket").as[Int].collect().toSet
@@ -74,6 +82,34 @@ object GraftTable {
       failAfterWaves: Int = Int.MaxValue): RunReport = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
+
+    // bucket ids are only meaningful under the modulus that produced
+    // them: resuming with a different nBuckets would silently duplicate
+    // (re-append already-committed urls) and/or skip data, so the bucket
+    // count is pinned in a table-meta file at creation and enforced here
+    val hfsMeta = fs(spark, root)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$root/manifest/table-meta.json")
+    if (hfsMeta.exists(metaPath)) {
+      val in = hfsMeta.open(metaPath)
+      val metaJson = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var k = in.read(buf)
+        while (k >= 0) { bos.write(buf, 0, k); k = in.read(buf) }
+        bos.toString("UTF-8")
+      } finally in.close()
+      val stored = "\"n_buckets\": (\\d+)".r.findFirstMatchIn(metaJson).map(_.group(1).toInt)
+      require(stored.contains(nBuckets),
+        s"resume with nBuckets=$nBuckets, but this table was created with " +
+        s"nBuckets=${stored.getOrElse("unknown")} — completed-bucket ids would be " +
+        "reinterpreted under a different modulus (silent duplicates/skips)")
+    } else {
+      hfsMeta.mkdirs(metaPath.getParent)
+      val out = hfsMeta.create(metaPath, true)
+      try out.write(s"""{"n_buckets": $nBuckets}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
 
     val done = completedBuckets(spark, root)
     val all = (0 until nBuckets).toSet
@@ -116,11 +152,14 @@ object GraftTable {
     var totalErr = 0L
     var totalBytes = 0L
     var waveIdx = 0
-    // committed buckets as of the NEXT snapshot: buckets done before this
-    // run plus every wave committed so far — their data files never change
-    // again (orphan cleanup only ever touches un-lineage'd buckets), so
-    // each snapshot can record the cumulative file list by listing them
-    var committed = done
+    // cumulative data-file list for the snapshot manifests, carried
+    // forward INCREMENTALLY: committed buckets are immutable (orphan
+    // cleanup only ever touches un-lineage'd buckets), so each wave only
+    // lists its OWN bucket dirs — re-listing every committed bucket per
+    // wave would be O(waves x totalBuckets) remote listStatus calls
+    // (~1M listings for a 4096-bucket run at 8 buckets/wave). Buckets
+    // done before this run are listed once here, for the resume case.
+    var manifestFiles: Vector[String] = listBucketFiles(hfs, root, done)
     remaining.grouped(bucketsPerWave).foreach { wave =>
       if (waveIdx >= failAfterWaves)
         throw new RuntimeException(s"injected failure after $failAfterWaves waves")
@@ -177,9 +216,9 @@ object GraftTable {
       val lineage = (metrics.toSeq ++ empty).toDS()
       lineage.coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/lineage")
 
-      committed = committed ++ wave
+      manifestFiles = manifestFiles ++ listBucketFiles(hfs, root, wave)
       writeSnapshot(hfs, root, waveIdx, wave,
-        metrics.map(m => (m.bucket, m.n_docs)), committed)
+        metrics.map(m => (m.bucket, m.n_docs)), manifestFiles)
       processed += wave.size
       totalDocs += metrics.map(_.n_docs).sum
       totalOk += metrics.map(_.n_ok).sum
@@ -198,25 +237,32 @@ object GraftTable {
       docsOk = totalOk, docsErr = totalErr, bytesIn = totalBytes)
   }
 
+  /** Data files of the given buckets, one listStatus per bucket. */
+  private def listBucketFiles(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      root: String, buckets: Iterable[Int]): Vector[String] =
+    buckets.toVector.sorted.flatMap { b =>
+      val bp = new org.apache.hadoop.fs.Path(s"$root/data/bucket=$b")
+      if (!hfs.exists(bp)) Vector.empty
+      else hfs.listStatus(bp).toVector
+        .map(st => st.getPath.getName)
+        .filter(_.endsWith(".parquet")).sorted
+        .map(n => s"bucket=$b/$n")
+    }
+
   private def writeSnapshot(
       hfs: org.apache.hadoop.fs.FileSystem,
       root: String, waveIdx: Int, buckets: Seq[Int], counts: Seq[(Int, Long)],
-      committed: Set[Int]): Unit = {
+      cumulativeFiles: Seq[String]): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$root/manifest")
     hfs.mkdirs(dir)
     val existing = scala.util.Try(
       hfs.listStatus(dir).count(_.getPath.getName.startsWith("snapshot-"))).getOrElse(0)
     // the Iceberg-manifest analog: the CUMULATIVE data-file list valid at
-    // this snapshot. Committed buckets are immutable from here on, so a
-    // listing at commit time stays the truth for this snapshot forever.
-    val files = committed.toSeq.sorted.flatMap { b =>
-      val bp = new org.apache.hadoop.fs.Path(s"$root/data/bucket=$b")
-      if (!hfs.exists(bp)) Nil
-      else hfs.listStatus(bp).toSeq
-        .map(st => st.getPath.getName)
-        .filter(_.endsWith(".parquet")).sorted
-        .map(n => s"bucket=$b/$n")
-    }
+    // this snapshot. Committed buckets are immutable from here on, so the
+    // carried-forward listing stays the truth for this snapshot forever;
+    // sorted for a canonical manifest regardless of wave order.
+    val files = cumulativeFiles.sorted
     val json =
       s"""{"snapshot_id": ${existing + 1},
          |"wave": $waveIdx,

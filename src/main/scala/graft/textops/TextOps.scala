@@ -21,7 +21,24 @@ object TextOps {
     * Reference: /root/reference/src/docscraper.py:176-186.
     */
   def tokenize(preprint: String): Array[String] =
-    preprint.strip().toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    pyStrip(preprint).toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+
+  /** Python str.strip() whitespace set: Java's Character.isWhitespace
+    * EXCLUDES the non-breaking spaces (U+00A0/U+2007/U+202F) and NEL
+    * (U+0085) that Python strips — and NBSP-led text is common in HTML
+    * extractions, so String.strip() would silently break tokenizer parity
+    * on the first token. */
+  @inline private def isPySpace(c: Char): Boolean =
+    Character.isWhitespace(c) || c == '\u00A0' || c == '\u0085' ||
+      c == '\u2007' || c == '\u202F'
+
+  private def pyStrip(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isPySpace(s.charAt(a))) a += 1
+    while (b > a && isPySpace(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
 
   /** Count tokens found in `wordSet`; return top-3 by count with Python
     * `Counter.most_common(3)` tie-breaking (first-insertion order wins on
@@ -83,5 +100,5 @@ object TextOps {
     * (the reference re-reads both files per document).
     */
   def loadWordSet(lines: Iterator[String]): Set[String] =
-    lines.map(_.strip().toLowerCase(java.util.Locale.ROOT)).toSet
+    lines.map(l => pyStrip(l).toLowerCase(java.util.Locale.ROOT)).toSet
 }

@@ -28,6 +28,12 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
       assert(row.getFloat(0) == graft.textops.Float16.quantize(0.7425))
       assert(row.getLong(1) == graft.functions.SimHash64.compute("the quick brown fox"))
       assert(row.getLong(2) == 32L)
+      // wrong arity fails analysis with a NAMED message, not a raw
+      // NoSuchElementException from exprs.head
+      val e = intercept[Exception] { s2.sql("SELECT dot_i64(array(1L))").head() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("dot_i64 expects 2")), messages(e).mkString("; "))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

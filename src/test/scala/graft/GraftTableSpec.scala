@@ -72,6 +72,32 @@ class GraftTableSpec extends AnyFunSuite with SparkTestBase {
     assert(snap.columns.last == "bucket")
   }
 
+  test("resume with a different nBuckets fails loudly (bucket-id modulus pinned)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl_nb").toString
+    val pages = ExtractPipeline.pages(spark, 40, 2)
+    GraftTable.runResumable(spark, pages, root, nBuckets = 8, bucketsPerWave = 8,
+      CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet, tasksPerWave = 2)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.runResumable(spark, pages, root, nBuckets = 16, bucketsPerWave = 8,
+        CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet, tasksPerWave = 2)
+    }
+    assert(e.getMessage.contains("nBuckets"))
+    // same nBuckets resumes fine (everything already committed)
+    val report = GraftTable.runResumable(spark, pages, root, nBuckets = 8,
+      bucketsPerWave = 8, CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet,
+      tasksPerWave = 2)
+    assert(report.processed == 0 && report.skipped == 8)
+  }
+
+  test("lineage dir with only committer droppings reads as nothing committed") {
+    // a crash during the FIRST lineage write leaves lineage/_temporary and
+    // no data file; resume must see zero completed buckets, not throw
+    // schema-inference errors forever
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl_tmp").toString
+    new java.io.File(s"$root/lineage/_temporary").mkdirs()
+    assert(GraftTable.completedBuckets(spark, root) == Set.empty)
+  }
+
   test("snapshot read: zero files with non-zero recorded docs is loud data loss") {
     // writeSnapshot skips committed bucket dirs missing at listing time,
     // so this manifest shape means committed data vanished — readSnapshot

@@ -127,4 +127,24 @@ class IdentifiersSpec extends AnyFunSuite with TableDrivenPropertyChecks {
       Some(DoiCascade.DoiResult("10.9999/fromtext", "text")))
     assert(DoiCascade(Map.empty, "no identifiers at all") == None)
   }
+
+  test("info-value scan keeps the reference's last-wins overwrite quirk") {
+    import scala.collection.immutable.ListMap
+    // doifrompdf.py:99-111 overwrites `result` every iteration: an
+    // id-bearing value followed by an id-less one yields None, and the
+    // cascade falls through to the preprint text
+    assert(DoiCascade(
+      ListMap("Subject" -> "see doi:10.1234/abc ", "Producer" -> "Microsoft Word"),
+      "fallback 10.9999/fromtext ok") ==
+      Some(DoiCascade.DoiResult("10.9999/fromtext", "text")))
+    // reversed order: the id-bearing value is last and wins
+    assert(DoiCascade(
+      ListMap("Producer" -> "Microsoft Word", "Subject" -> "see doi:10.1234/abc "),
+      "fallback 10.9999/fromtext ok") ==
+      Some(DoiCascade.DoiResult("10.1234/abc", "text")))
+    // the reference's '/wps-journaldoi' exclusion is dead code against
+    // slash-stripped keys, so the value IS scanned
+    assert(DoiCascade(ListMap("wps-journaldoi" -> "10.9999/wps "), "") ==
+      Some(DoiCascade.DoiResult("10.9999/wps", "text")))
+  }
 }

@@ -44,6 +44,11 @@ class TextOpsSpec extends AnyFunSuite with TableDrivenPropertyChecks {
     // empty input -> one empty token (Python "".split(" ") == [""])
     assert(TextOps.tokenize("").toSeq == Seq(""))
     assert(TextOps.tokenize("   ").toSeq == Seq(""))
+    // Python str.strip() also strips NBSP/NEL/figure/narrow-nbsp, which
+    // Java's Character.isWhitespace does not — NBSP-led HTML extractions
+    // must tokenize identically to the reference
+    assert(TextOps.tokenize("\u00a0Neural nets\u00a0").toSeq == Seq("neural", "nets"))
+    assert(TextOps.tokenize("\u0085x\u2007y\u202f").toSeq == Seq("x\u2007y"))
   }
 
   test("matchTerms: docstring example incl. tie-break by first insertion") {
