@@ -127,6 +127,18 @@ object CorpusGen {
 
   /** Generate one page + its golden. Deterministic in docId. */
   def genDoc(docId: Long): (Page, Golden) = {
+    val (page, golden) = gen(docId, wantPage = true)
+    (page.get, golden)
+  }
+
+  /** Golden only, WITHOUT building the page bytes: skips PdfWriter.build
+    * (the deflate step) and renderHtml — neither consumes the rng, and
+    * every golden field is drawn before them, so the golden stays
+    * byte-identical to genDoc's while the goldens sidecar table stops
+    * paying full page construction for output it discards. */
+  def genGolden(docId: Long): Golden = gen(docId, wantPage = false)._2
+
+  private def gen(docId: Long, wantPage: Boolean): (Option[Page], Golden) = {
     val rng = new Rng(docId)
     val (abstractText, tHits, bHits, totalW) = genAbstract(rng)
     val title = titleFor(docId, rng)
@@ -144,9 +156,6 @@ object CorpusGen {
         paragraphs.flatMap(wrap(_, 80)) :+ statLine)
       val pdfPages = bodyLines.grouped(PdfWriter.MaxLinesPerPage)
         .map(ls => PdfWriter.PageSpec(ls.toSeq)).toSeq
-      val info = Map("Title" -> title) ++
-        (if (docId % 6 == 0) doi.map("doi" -> _) else None)
-      val bytes = PdfWriter.build(pdfPages, info, compress = docId % 2 == 0)
       val golden = Golden(
         url = u,
         extracted_text = PdfWriter.expectedText(pdfPages),
@@ -155,12 +164,16 @@ object CorpusGen {
         doi = doi.getOrElse(""),
         citation_spans = Nil,
         target_hits = tHits, bycatch_hits = bHits, total_words = totalW)
-      (PageRecord(u, ts, bytes, abstractText, langFor(docId)), golden)
+      val page = if (!wantPage) None else {
+        val info = Map("Title" -> title) ++
+          (if (docId % 6 == 0) doi.map("doi" -> _) else None)
+        val bytes = PdfWriter.build(pdfPages, info, compress = docId % 2 == 0)
+        Some(PageRecord(u, ts, bytes, abstractText, langFor(docId)))
+      }
+      (page, golden)
     } else {
       val citations = (0 until rng.nextInt(4)).map(i =>
         s"Author ${('A' + rng.nextInt(26)).toChar}. (${2000 + rng.nextInt(25)}). Cited work $i.")
-      val htmlStr = renderHtml(docId, title, abstractText, doi,
-        paragraphPairs.map(_._2), citations, rng)
       val golden = Golden(
         url = u,
         // main container holds the abstract block (heading + body) then the
@@ -171,8 +184,14 @@ object CorpusGen {
         doi = doi.getOrElse(""),
         citation_spans = citations,
         target_hits = tHits, bycatch_hits = bHits, total_words = totalW)
-      (PageRecord(u, ts, htmlStr.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        abstractText, langFor(docId)), golden)
+      val page = if (!wantPage) None else {
+        val htmlStr = renderHtml(docId, title, abstractText, doi,
+          paragraphPairs.map(_._2), citations, rng)
+        Some(PageRecord(u, ts,
+          htmlStr.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          abstractText, langFor(docId)))
+      }
+      (page, golden)
     }
   }
 

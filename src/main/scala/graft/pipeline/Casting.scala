@@ -49,7 +49,12 @@ object Casting {
     KeyTypePairings.foldLeft(dated) { case (d, (name, ty)) =>
       if (!present.contains(name)) d
       else ty match {
-        case "int16"   => d.withColumn(name, col(name).cast(ShortType))
+        case "int16"   => d.withColumn(name,
+          // numpy/pandas astype(int16) WRAPS on overflow and never fails
+          // the export; Spark 4's ANSI cast would abort the whole job on
+          // the first count > 32767. Sign-extend the low 16 bits instead:
+          // identical in range, identical wrap out of range, null-safe.
+          expr(s"CAST(((CAST(`$name` AS BIGINT) & 65535) ^ 32768) - 32768 AS SMALLINT)"))
         case "float16" => d.withColumn(name,
           graft.functions.GraftFunctions.half_float(col(name).cast("float")))
         case _         => d.withColumn(name, col(name).cast(StringType))

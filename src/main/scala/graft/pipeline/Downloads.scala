@@ -23,6 +23,18 @@ object Downloads {
   def cleanLink(rawOnclick: String, baseUrl: String): String =
     graft.ids.LinkCleaner.formatDownloadLink(rawOnclick, baseUrl).getOrElse("")
 
+  /** Full sci-hub button-page resolution (downloaders.py:215-230): the
+    * `#buttons button:nth-child(1)` selector descent, its onclick
+    * attribute, and the cleaned link ("" on any miss). ONE definition —
+    * the q36 driver query and Modes.download both compose it, so the q36
+    * oracle keeps covering the mode path. */
+  def resolveButton(html: String, baseUrl: String): (String, String) = {
+    val onclick = graft.html.Selectors
+      .cssFirst(graft.html.HtmlParser.parse(html), "#buttons button:nth-child(1)")
+      .flatMap(_.attr("onclick")).getOrElse("")
+    (onclick, cleanLink(onclick, baseUrl))
+  }
+
   /** Lowercase md5 hex — the deterministic stand-in for the reference's
     * randint/Etag nondeterminism (§2.7 row 47), chosen over FNV because
     * the DuckDB oracle computes the identical function, making receipt

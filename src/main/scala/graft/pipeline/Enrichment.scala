@@ -35,12 +35,20 @@ object Enrichment {
       .toDF("doi", "times_cited", "journal_title", "internal_id")
   }
 
-  /** Left broadcast-hash enrichment of extracted docs on `doi`; misses
-    * surface as nulls, then filled "N/A" like the reference's export
-    * cleanup (/root/reference/src/serials.py:89-106). */
-  def enrich(extracted: DataFrame, snapshot: DataFrame): DataFrame = {
-    val joined = extracted.join(
-      broadcast(snapshot), Seq("doi"), "left")
+  /** Left enrichment of extracted docs on `doi`; misses surface as
+    * nulls, then filled "N/A" like the reference's export cleanup
+    * (/root/reference/src/serials.py:89-106). Snapshot tables are
+    * broadcast by default (the common case: a dim table far below the
+    * broadcast threshold); pass `broadcastSnapshot = false` for a
+    * snapshot too large to collect — forcing the hint on a ~10^8-row
+    * snapshot would OOM the driver, and without the hint AQE picks the
+    * shuffle join on `doi`. */
+  def enrich(
+      extracted: DataFrame,
+      snapshot: DataFrame,
+      broadcastSnapshot: Boolean = true): DataFrame = {
+    val snap = if (broadcastSnapshot) broadcast(snapshot) else snapshot
+    val joined = extracted.join(snap, Seq("doi"), "left")
     Stagers.fillNA(joined, Seq("journal_title", "internal_id"))
   }
 

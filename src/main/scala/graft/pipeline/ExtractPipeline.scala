@@ -38,7 +38,7 @@ object ExtractPipeline {
     val parts = if (nPartitions > 0) nPartitions
       else spark.sparkContext.defaultParallelism
     spark.range(0, nDocs, 1, parts).map { i =>
-      val g = CorpusGen.genDoc(i)._2
+      val g = CorpusGen.genGolden(i)
       (g.url, g.extracted_text, g.title, g.abstract_text, g.doi,
         g.citation_spans, g.target_hits, g.bycatch_hits, g.total_words)
     }.toDF("url", "extracted_text", "title", "abstract_text", "doi",

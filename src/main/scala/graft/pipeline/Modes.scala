@@ -27,9 +27,15 @@ object Modes {
 
   /** The universal post-stage tail (/root/reference/src/fetch.py:188-193):
     * drop all-empty columns, then downcast (int16 counts, datetime
-    * coerce). */
-  def finish(df: DataFrame): DataFrame =
-    Casting.dataframeCasting(Stagers.dropAllEmptyColumns(df))
+    * coerce). The emptiness probe is an eager aggregate, so the input is
+    * persisted first — otherwise every mode would execute its whole
+    * pipeline twice (once for the probe, once for the caller's action),
+    * doubling work and, worse, repeating side effects behind an online
+    * fetch seam. Callers may unpersist the result when done. */
+  def finish(df: DataFrame): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Casting.dataframeCasting(Stagers.dropAllEmptyColumns(cached))
+  }
 
   /** Abstract-channel DocScraper scoring (is_pdf=False,
     * /root/reference/src/docscraper.py:129-174) for the mode row builders.
@@ -131,13 +137,9 @@ object Modes {
         // never-throw row contract (same as Extractor.extract): a failing
         // page fetch or parse is a FAILED receipt, not a dead task — the
         // reference's None-on-error path (downloaders.py:137-182)
-        val link = try {
-          val dom = graft.html.HtmlParser.parse(pageForDoi(doi))
-          val onclick = graft.html.Selectors
-            .cssFirst(dom, "#buttons button:nth-child(1)")
-            .flatMap(_.attr("onclick")).getOrElse("")
-          Downloads.cleanLink(onclick, baseUrl)
-        } catch { case _: Exception => "" }
+        val link =
+          try Downloads.resolveButton(pageForDoi(doi), baseUrl)._2
+          catch { case _: Exception => "" }
         DownloadReceipt(
           downloader = "graft.BulkDownloader",
           url = link,
@@ -208,8 +210,10 @@ object Modes {
       publicationType: String,
       numArticles: Int): DataFrame = {
     import spark.implicits._
+    // Python str.strip() semantics (serialize_from_txt): Java trim() keeps
+    // NBSP/NEL, which would silently miss the snapshot equi-join
     val queries = spark.read.textFile(queriesTxtPath)
-      .map(_.trim).filter(_.nonEmpty)
+      .map(graft.textops.TextOps.pyStrip).filter(_.nonEmpty)
       .toDF("search_text")
     finish(Scholar.search(queries, scholarSnapshot, publicationType, numArticles))
   }

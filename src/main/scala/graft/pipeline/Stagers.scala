@@ -83,8 +83,7 @@ object Stagers {
       key: String,
       referenceReorder: Boolean = false): DataFrame = {
     val extract = udf((cell: String) => graft.serials.PyDictParser.extractKey(cell, key))
-    val cleaned = df.withColumn(column, extract(col(column)))
-    if (!referenceReorder) cleaned
+    if (!referenceReorder) df.withColumn(column, extract(col(column)))
     else {
       val isDict = col(column).isNotNull && col(column).startsWith("{")
       // order flag computed BEFORE cleaning (the reference partitions on

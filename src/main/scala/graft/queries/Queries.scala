@@ -137,6 +137,14 @@ object Queries {
     * expensive projection (shingle/signature/bit tables) makes each side
     * a cache read instead of a recompute, which at 100 TB is exactly the
     * materialized signature table a dedup/ANN job writes once. */
+  /** max(vec_id) of the embeddings table, one job per (session, dir) —
+    * a fail-loud collision guard, not a result cache. */
+  private val VecGuard =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  private def maxVecId(s: SparkSession, dir: String): Long =
+    VecGuard.computeIfAbsent((s, dir),
+      _ => t(s, dir, "embeddings").agg(max("vec_id")).head().getLong(0)).longValue()
+
   private object SwapCache {
     private var last: Map[String, List[DataFrame]] = Map.empty
     def swap(key: String)(dfs: DataFrame*): Unit = synchronized {
@@ -926,8 +934,11 @@ object Queries {
       "q26_embed_near_dup",
       (s, dir) => {
         GraftFunctions.registerAll(s)
-        // perturbed-copy ids live at +100000 (same collision logic as q15)
-        val maxVec = t(s, dir, "embeddings").agg(max("vec_id")).head().getLong(0)
+        // perturbed-copy ids live at +100000 (same collision logic as
+        // q15); the guard is memoized per (session, dir) — q15 keeps its
+        // guard inside the cached build for the same reason, and a bench
+        // sweep must not pay a max() job per repetition
+        val maxVec = maxVecId(s, dir)
         require(maxVec < 100000L,
           s"q26 perturbed-id offset collides: max vec_id $maxVec >= 100000")
         val base = t(s, dir, "embeddings")
@@ -1394,12 +1405,8 @@ object Queries {
       import s.implicits._
       val baseUrl = "https://sci-hub.example.org/"
       val rows = s.range(0, 300, 1, 4).map { i =>
-        val dom = graft.html.HtmlParser.parse(CorpusGen.buttonPage(i))
-        val onclick = graft.html.Selectors
-          .cssFirst(dom, "#buttons button:nth-child(1)")
-          .flatMap(_.attr("onclick")).getOrElse("")
-        val link = graft.ids.LinkCleaner
-          .formatDownloadLink(onclick, baseUrl).getOrElse("")
+        val (onclick, link) =
+          graft.pipeline.Downloads.resolveButton(CorpusGen.buttonPage(i), baseUrl)
         (i, onclick, link)
       }.toDF("row_id", "onclick", "link")
       auxDump(rows.selectExpr("row_id", "onclick"), "q36_onclick")

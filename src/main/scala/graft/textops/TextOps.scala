@@ -32,7 +32,7 @@ object TextOps {
     Character.isWhitespace(c) || c == '\u00A0' || c == '\u0085' ||
       c == '\u2007' || c == '\u202F'
 
-  private def pyStrip(s: String): String = {
+  def pyStrip(s: String): String = {
     var a = 0
     var b = s.length
     while (a < b && isPySpace(s.charAt(a))) a += 1

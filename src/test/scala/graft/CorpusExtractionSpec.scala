@@ -18,6 +18,13 @@ class CorpusExtractionSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(p1.html, p2.html))
   }
 
+  test("genGolden equals genDoc's golden without building page bytes") {
+    // PDF ids (x % 10 >= 7) and HTML ids, across both rng-draw shapes
+    (0L until 40L).foreach { id =>
+      assert(CorpusGen.genGolden(id) == CorpusGen.genDoc(id)._2, s"id=$id")
+    }
+  }
+
   test(s"byte-identical extracted text for $N synthetic docs (HTML + PDF)") {
     var htmlDocs = 0
     var pdfDocs = 0
