@@ -60,4 +60,23 @@ class CastingSpec extends AnyFunSuite with SparkTestBase {
     assert(out.columns.toSeq == Seq("k", "v"))
     assert(out.head().getInt(0) == 1)
   }
+
+  test("int16 downcast wraps on overflow like numpy astype(int16), never throws") {
+    import spark.implicits._
+    // goldens from numpy: int16(40000) = -25536 etc.; Spark 4's ANSI cast
+    // would abort the export on the first out-of-range count
+    val df = Seq(
+      (1L, Some(40000L)), (2L, Some(32767L)), (3L, Some(32768L)),
+      (4L, Some(-40000L)), (5L, Some(65536L)), (6L, Some(70000L)),
+      (7L, None)
+    ).toDF("k", "times_cited")
+    val out = Casting.dataframeCasting(df)
+    assert(out.schema("times_cited").dataType ==
+      org.apache.spark.sql.types.ShortType)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getShort(1).toInt)))
+      .toMap
+    assert(got == Map(1L -> Some(-25536), 2L -> Some(32767), 3L -> Some(-32768),
+      4L -> Some(25536), 5L -> Some(0), 6L -> Some(4464), 7L -> None))
+  }
 }

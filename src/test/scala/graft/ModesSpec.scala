@@ -10,6 +10,12 @@ import graft.model.ExtractedDoc
   * drives one mode over synthesized inputs and pins the composition's
   * observable contract (columns, hit/miss paths, naming).
   */
+object ModesSpec {
+  /** Static so executor-side closure copies still hit the one counter in
+    * local mode. */
+  val FetchCount = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class ModesSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
@@ -115,6 +121,23 @@ class ModesSpec extends AnyFunSuite with SparkTestBase {
     assert(failed.length == 1 && failed.head.getAs[String]("url") == "")
     // dated deterministic naming, recomputable from the doi
     assert(rows.contains(s"260816/${Downloads.md5hex("10.5555/g2")}.pdf"))
+  }
+
+  test("finish() executes the mode pipeline once: fetch seam fires per row, not twice") {
+    // the drop-empty-columns probe is an eager aggregate; without the
+    // persist in finish(), the caller's action would re-execute the whole
+    // pipeline and an online fetch seam would fire twice per doi
+    ModesSpec.FetchCount.set(0)
+    val path = tmpFile("dois.csv", "doi\n10.5555/g2\n10.5555/g4\n10.5555/g6\n")
+    val out = Modes.download(spark, path,
+      doi => {
+        ModesSpec.FetchCount.incrementAndGet()
+        CorpusGen.buttonPage(doi.substring(doi.indexOf('g') + 1).toLong)
+      },
+      "https://b.example.org/", today)
+    assert(out.count() == 3)
+    assert(ModesSpec.FetchCount.get() == 3,
+      s"fetch seam fired ${ModesSpec.FetchCount.get()} times for 3 rows")
   }
 
   test("download mode: a throwing page fetch is a failed receipt, not a dead task") {
