@@ -48,6 +48,31 @@ class ExtractorFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("random tag soup (implied closers, close-tag attrs) never throws") {
+    // targets the tree-builder's stack manipulation: implied end tags for
+    // li/dt/dd/td/th/tr, decorated close tags, stray closers — random
+    // sequences of exactly these constructs must never underflow the
+    // stack or throw
+    val rng = new scala.util.Random(7)
+    val tags = Vector("ul", "ol", "li", "dl", "dt", "dd", "table", "tr",
+      "td", "th", "p", "div", "span", "main")
+    (0 until 300).foreach { caseIdx =>
+      val sb = new StringBuilder
+      (0 until 40).foreach { _ =>
+        val t = tags(rng.nextInt(tags.length))
+        rng.nextInt(5) match {
+          case 0 => sb.append(s"<$t>word ")
+          case 1 => sb.append(s"</$t>")
+          case 2 => sb.append(s"""</$t class="x">""")
+          case 3 => sb.append(s"<$t>")
+          case _ => sb.append("text ")
+        }
+      }
+      val doc = Extractor.extract(page(sb.toString.getBytes("UTF-8")))
+      assert(doc.kind == "html" || !doc.ok, s"case $caseIdx")
+    }
+  }
+
   test("null and empty payloads") {
     assert(!Extractor.extract(page(null)).extracted_text.nonEmpty)
     val empty = Extractor.extract(page(Array.emptyByteArray))
