@@ -152,9 +152,97 @@ object DotI64 {
   }
 }
 
+/** MinHash band buckets over a shingle array — q15's hash stage as ONE
+  * native pass. Semantically identical to the SQL construction
+  *
+  *   hs      = transform(sh, w -> concat(md5(w), md5(concat(w, '#'))))
+  *   bucket b = concat(array_min(transform(hs, h -> substring(h, 16b+1, 8))),
+  *              array_min(transform(hs, h -> substring(h, 16b+9, 8))))
+  *
+  * which the DuckDB oracle re-derives: fixed-width LOWERCASE hex makes
+  * the string min equal the uint32 min of the corresponding digest word,
+  * so running per-lane integer minima over the raw digest bytes and
+  * hex-formatting once at the end is byte-identical — without
+  * materializing a 64-char hex string per shingle and re-scanning it
+  * with eight transform+array_min passes. Null shingles are skipped
+  * (md5(null) = null, array_min ignores nulls); an empty or all-null
+  * array yields four NULL buckets (concat of a null min).
+  */
+case class MinHashBands(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands needs an array<string> column, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashBands.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashBands.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(sh: ArrayData): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = sh.numElements()
+    // lane j = uint32 word j of (md5(w) ++ md5(w + '#')); band b's bucket
+    // is hex(min lane 2b) ++ hex(min lane 2b+1)
+    val minima = Array.fill(8)(Long.MaxValue)
+    var any = false
+    val md = Md5.get()
+    var i = 0
+    while (i < n) {
+      if (!sh.isNullAt(i)) {
+        any = true
+        val w = sh.getUTF8String(i).getBytes
+        md.reset()
+        val d1 = md.digest(w)
+        md.reset()
+        md.update(w); md.update('#'.toByte)
+        val d2 = md.digest()
+        var lane = 0
+        while (lane < 8) {
+          val d = if (lane < 4) d1 else d2
+          val off = (lane & 3) << 2
+          val v = ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+            ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+          if (v < minima(lane)) minima(lane) = v
+          lane += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](4)
+    if (any) {
+      var b = 0
+      while (b < 4) {
+        out(b) = UTF8String.fromString(
+          f"${minima(2 * b)}%08x${minima(2 * b + 1)}%08x")
+        b += 1
+      }
+    } // else: four nulls, like concat(array_min(empty), ...) = NULL
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object GraftFunctions {
   def half_float(c: Column): Column =
     Shim.column(HalfFloat(Shim.expression(c)))
+  def minhash_bands(c: Column): Column =
+    Shim.column(MinHashBands(Shim.expression(c)))
   def simhash64(c: Column): Column =
     Shim.column(SimHash64(Shim.expression(c)))
   def dot_i64(a: Column, b: Column): Column =
@@ -178,6 +266,9 @@ object GraftFunctions {
     })
     Shim.registerFunction(spark, "dot_i64", exprs => {
       requireArity("dot_i64", exprs, 2); DotI64(exprs(0), exprs(1))
+    })
+    Shim.registerFunction(spark, "minhash_bands", exprs => {
+      requireArity("minhash_bands", exprs, 1); MinHashBands(exprs.head)
     })
   }
 }

@@ -531,21 +531,21 @@ object Queries {
               base.selectExpr("id + 1000000 AS id", "slice(toks, 2, size(toks)) AS toks"))
             .selectExpr("id", s"$sparkShingles AS sh")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // two md5s per shingle -> 64 hex chars -> eight independent 32-bit
-        // lanes; band bucket = per-lane minimum (8x less hashing than
-        // hash-per-band over every shingle)
+        // two md5s per shingle -> eight independent 32-bit lanes; band
+        // bucket = per-lane minimum (8x less hashing than hash-per-band
+        // over every shingle). The native minhash_bands expression runs
+        // the whole stage in ONE pass over the raw digests — byte-
+        // identical to the SQL construction the oracle re-derives (see
+        // MinHashBands scaladoc), without materializing a 64-char hex
+        // string per shingle and re-scanning it 8 times.
         // r=2 banding: two independent 32-bit lane minima per band, so a
         // pair collides with probability ~J^2 instead of ~J — on this
         // corpus that is 41x fewer candidates at 99.96% planted recall
         // sigs is persisted too: BOTH sides of the candidate self-join read
         // it, and without the persist each side re-runs the md5 pass
         val sigs = aug
-          .selectExpr("id",
-            "transform(sh, w -> concat(md5(CAST(w AS BINARY)), md5(CAST(concat(w, '#') AS BINARY)))) AS hs")
-          .selectExpr("id", "hs", "explode(sequence(0, 3)) AS b")
-          .selectExpr("id", "b",
-            "concat(array_min(transform(hs, h -> substring(h, 16*b + 1, 8))), " +
-              "array_min(transform(hs, h -> substring(h, 16*b + 9, 8)))) AS bucket")
+          .select(col("id"), GraftFunctions.minhash_bands(col("sh")).as("buckets"))
+          .selectExpr("id", "posexplode(buckets) AS (b, bucket)")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         SwapCache.swap("q15")(aug, sigs)
         val s1 = sigs.selectExpr("id AS id_a", "b AS b_a", "bucket AS bucket_a")

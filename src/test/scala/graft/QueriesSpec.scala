@@ -158,6 +158,36 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       s"LSH recall too low: ${recalled.size}/$nDocs")
   }
 
+  test("minhash_bands is byte-identical to the SQL md5 lane construction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(5)
+    // random shingle arrays incl. EMPTY arrays (the null-bucket path)
+    val rows = (0 until 200).map { i =>
+      val n = if (i % 17 == 0) 0 else rnd.nextInt(40)
+      (i.toLong, (0 until n).map(_ =>
+        s"w${rnd.nextInt(50)} x${rnd.nextInt(9)} y${rnd.nextInt(9)}"))
+    }
+    val df = rows.toDF("id", "sh")
+    def collect(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    val viaSql = collect(df
+      .selectExpr("id",
+        "transform(sh, w -> concat(md5(CAST(w AS BINARY)), md5(CAST(concat(w, '#') AS BINARY)))) AS hs")
+      .selectExpr("id", "hs", "explode(sequence(0, 3)) AS b")
+      .selectExpr("id", "b",
+        "concat(array_min(transform(hs, h -> substring(h, 16*b + 1, 8))), " +
+          "array_min(transform(hs, h -> substring(h, 16*b + 9, 8)))) AS bucket"))
+    val viaNative = collect(df
+      .select(col("id"),
+        graft.functions.GraftFunctions.minhash_bands(col("sh")).as("buckets"))
+      .selectExpr("id", "posexplode(buckets) AS (b, bucket)"))
+    assert(viaNative == viaSql)
+    // empty arrays produced 4 null-bucket rows in BOTH forms
+    assert(viaNative.exists(_._3 == null))
+  }
+
   private def executedPlanString(df: org.apache.spark.sql.DataFrame): String = {
     df.collect() // materialize so AQE finalizes the plan
     df.queryExecution.executedPlan.toString
