@@ -543,9 +543,15 @@ object Queries {
         // corpus that is 41x fewer candidates at 99.96% planted recall
         // sigs is persisted too: BOTH sides of the candidate self-join read
         // it, and without the persist each side re-runs the md5 pass
+        // posexplode_OUTER on purpose: minhash_bands always returns a
+        // 4-element array for the never-null sh column, so outer emits
+        // identical rows — but the non-outer Generate gets a
+        // size(...)>0 filter inferred (InferFiltersFromGenerate) that
+        // alias-pushdown rewrites back into minhashbands(sh), re-running
+        // the digest pass per row; outer generates are exempt
         val sigs = aug
           .select(col("id"), GraftFunctions.minhash_bands(col("sh")).as("buckets"))
-          .selectExpr("id", "posexplode(buckets) AS (b, bucket)")
+          .selectExpr("id", "posexplode_outer(buckets) AS (b, bucket)")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         SwapCache.swap("q15")(aug, sigs)
         val s1 = sigs.selectExpr("id AS id_a", "b AS b_a", "bucket AS bucket_a")
