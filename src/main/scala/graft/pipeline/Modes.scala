@@ -25,15 +25,39 @@ import graft.sources.Sources
   */
 object Modes {
 
+  /** Frames persisted by [[finish]] whose lifecycle the caller now owns.
+    * finish cannot unpersist eagerly itself — the caller's downstream
+    * action still reads the cache, and unpersisting before it would
+    * re-execute the whole mode pipeline (repeating side effects behind an
+    * online fetch seam). This queue is the HANDLE the round-3 advice
+    * asked for: call [[releaseCaches]] once the mode's outputs are
+    * consumed (the CLI does so after its export). */
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every frame [[finish]] cached since the last release.
+    * Safe to call any time after the caller's final action on the mode
+    * outputs; a later action on a released frame recomputes instead of
+    * failing. */
+  def releaseCaches(): Unit = {
+    var df = liveCaches.poll()
+    while (df != null) {
+      scala.util.Try(df.unpersist(false))
+      df = liveCaches.poll()
+    }
+  }
+
   /** The universal post-stage tail (/root/reference/src/fetch.py:188-193):
     * drop all-empty columns, then downcast (int16 counts, datetime
     * coerce). The emptiness probe is an eager aggregate, so the input is
     * persisted first — otherwise every mode would execute its whole
     * pipeline twice (once for the probe, once for the caller's action),
     * doubling work and, worse, repeating side effects behind an online
-    * fetch seam. Callers may unpersist the result when done. */
+    * fetch seam. The persist is registered in [[liveCaches]]; call
+    * [[releaseCaches]] when the mode's outputs are consumed. */
   def finish(df: DataFrame): DataFrame = {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches.add(cached)
     Casting.dataframeCasting(Stagers.dropAllEmptyColumns(cached))
   }
 

@@ -140,6 +140,25 @@ class ModesSpec extends AnyFunSuite with SparkTestBase {
       s"fetch seam fired ${ModesSpec.FetchCount.get()} times for 3 rows")
   }
 
+  test("releaseCaches() drops every frame finish() persisted (no cache accumulation)") {
+    val target = Set("spark")
+    val path = tmpFile("abstracts.csv",
+      "title,abstract\nT0,spark table\nT1,plain words\n")
+    // start clean so the assertion below is about THIS mode run
+    spark.catalog.clearCache()
+    Modes.releaseCaches()
+    val out = Modes.fastscore(spark, path, target, Set.empty)
+    assert(out.count() == 2) // the caller's action — cache is live for it
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "finish() should persist the probe input")
+    // the round-3 advice: finish persisted with no release handle, so a
+    // service looping over modes accumulated MEMORY_AND_DISK copies until
+    // the ContextCleaner happened to run. releaseCaches is the handle.
+    Modes.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releaseCaches must unpersist every mode-owned cached frame")
+  }
+
   test("download mode: a throwing page fetch is a failed receipt, not a dead task") {
     val path = tmpFile("dois.csv", "doi\n10.5555/g2\n10.5555/boom\n")
     val out = Modes.download(spark, path,

@@ -44,6 +44,25 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     } finally Queries.auxDumpEnabled = true
   }
 
+  test("Q15Result rebuilds after spark.catalog.clearCache (no stale unpersisted hit)") {
+    import org.apache.spark.storage.StorageLevel
+    val before = run("q25_dedup_groups").collect().map(_.toSeq).toSet
+    val pairs0 = Queries.q15CachedPairs(spark, sf).get
+    assert(pairs0.storageLevel != StorageLevel.NONE)
+    // a session-wide cache drop (any embedding app may do this between
+    // jobs) unpersists the pairs but leaves the (session, dir) hit live
+    spark.catalog.clearCache()
+    assert(pairs0.storageLevel == StorageLevel.NONE)
+    // the round-3 footgun: a stale hit here would hand q25 an UNPERSISTED
+    // pairs plan and the whole LSH pipeline would re-run inside every CC
+    // hop join. The fix re-checks storageLevel and rebuilds.
+    val after = run("q25_dedup_groups").collect().map(_.toSeq).toSet
+    val pairs1 = Queries.q15CachedPairs(spark, sf).get
+    assert(pairs1.storageLevel != StorageLevel.NONE,
+      "q25 consumed an unpersisted q15 pairs plan after clearCache")
+    assert(after == before)
+  }
+
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Queries.all.count(_.oracle.isDefined)
     // 38 queries, 35 oracled; q17/q19/q27 are the genuinely non-SQL ops
