@@ -1,36 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import graft.pipeline.ExtractPipeline
 import graft.corpus.CorpusGen
-
-/** Collects task wall times so the skew of the parse stage is measurable
-  * (max-task vs median-task — SURVEY.md §7.6). */
-private final class TaskTimeListener extends SparkListener {
-  val times = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
-  override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-    if (e.taskMetrics != null)
-      times.add((e.stageId, e.taskInfo.finishTime - e.taskInfo.launchTime))
-  def clear(): Unit = times.clear()
-  /** (median, max) task ms within the PARSE stage, identified as the
-    * stage containing the single longest task. Pooling all stages would
-    * let the many sub-50ms scan/reduce tasks set the median; picking by
-    * summed stage time fails too — a wide parquet scan of html bytes can
-    * out-sum a skewed parse stage whose straggler defines the wall time.
-    * The longest task is always a parse task in these jobs (fused
-    * scan+parse for the headline; post-shuffle parse for the skew legs,
-    * where the whole point is its straggler). */
-  def skew: (Long, Long) = {
-    import scala.jdk.CollectionConverters._
-    val byStage = times.asScala.toSeq.groupBy(_._1)
-    if (byStage.isEmpty) (0L, 0L)
-    else {
-      val xs = byStage.values.maxBy(_.map(_._2).max).map(_._2).toIndexedSeq.sorted
-      (xs(xs.length / 2), xs.last)
-    }
-  }
-}
 
 /** Benchmark main. Emits ONE JSON line:
   *   - per-query wall seconds for every SparkEntry query at
@@ -38,7 +10,13 @@ private final class TaskTimeListener extends SparkListener {
   *   - the headline metric from BASELINE.json: end-to-end extraction
   *     docs/sec (HTML boilerplate strip + PDF content-stream parse +
   *     scoring, byte-identical-gated corpus) over a pre-materialized
-  *     parquet pages table;
+  *     parquet pages table. The headline is measured in its OWN
+  *     taskset-pinned child JVM (round-3 verdict #1: the r3 driver-run
+  *     headline collapsed 14x inside the 10-minute-old query-suite
+  *     parent JVM while every other leg in the same run was healthy),
+  *     with per-run wall times, GC-time deltas and task skew published
+  *     so a sick run self-diagnoses; one parent-JVM diagnostic run is
+  *     published next to it for the child-vs-parent comparison;
   *   - the north rule's two-cluster-size scaling evidence: the same
   *     extraction job at local[N_LO] vs local[N_HI] (sandbox stand-in
   *     for N vs 4N executors) + throughput scaling efficiency.
@@ -125,23 +103,93 @@ object Bench {
       .write.mode("overwrite").parquet(pagesPath)
     ExtractPipeline.pages(spark, warmDocs, cpus).write.parquet(warmPath)
 
-    // warm the JIT (parsers + codegen) before any timed leg
+    /** Spawn one BenchLeg child JVM pinned to exactly `c` cores; returns
+      * its full merged stdout+stderr (empty on spawn failure). Merging
+      * matters: an un-drained stderr pipe (Spark ERROR logs, OOM traces)
+      * would deadlock the child at ~64KB; scala.util.Try makes the
+      * fallback reachable when the taskset binary is absent. */
+    def spawnLeg(c: Int, iters: Int, rich: Boolean, heap: String): String = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      // same JPMS opens as build.sbt (Spark 4 on JDK 17 outside spark-submit)
+      val jvmOpts = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq("taskset", "-c", s"0-${c - 1}", javaBin) ++ jvmOpts ++ Seq(
+        s"-Xmx$heap", "-cp", System.getProperty("java.class.path"),
+        "graft.BenchLeg", pagesPath, warmPath, c.toString, iters.toString) ++
+        (if (rich) Seq("rich") else Seq.empty)
+      scala.util.Try {
+        val out = new StringBuilder
+        val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val rdr = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var line = rdr.readLine()
+        while (line != null) { out.append(line).append('\n'); line = rdr.readLine() }
+        proc.waitFor()
+        out.toString
+      }.getOrElse("")
+    }
+
+    // warm the JIT (parsers + codegen) before any timed parent leg (the
+    // skew legs and the parent diagnostic run in this JVM)
     extractLeg(spark, warmPath, cpus)
     extractLeg(spark, pagesPath, 0)
     val listener = new TaskTimeListener
     spark.sparkContext.addSparkListener(listener)
+
+    // ---- parent-JVM diagnostic run --------------------------------------
+    // One timed headline run in THIS (query-suite-aged) JVM with its GC
+    // delta: the r3 anomaly was parent-only, so publishing parent-vs-child
+    // in the same metric line turns a recurrence into a diagnosis instead
+    // of a mystery.
     var okHi = 0L
-    // headline = median-of-5 in this warmed JVM (this VM's deliverable
-    // cycles fluctuate run to run); each run records ITS OWN task skew so
-    // the published skew describes the same run as the published time
-    val headlineRuns = (1 to 5).map { _ =>
-      listener.clear()
-      val sec = timeSec { okHi = extractLeg(spark, pagesPath, 0) }
-      Thread.sleep(300) // let the listener bus drain
-      val (med, max) = listener.skew
-      (sec, med, max)
-    }.sortBy(_._1)
-    val (tHiAtCpus, medianTaskMs, maxTaskMs) = headlineRuns(headlineRuns.length / 2)
+    val parentGc0 = GcClock.ms
+    val parentSec = timeSec { okHi = extractLeg(spark, pagesPath, 0) }
+    val parentGcMs = GcClock.ms - parentGc0
+
+    // ---- pinned-child headline (median of 5 runs) -----------------------
+    // The headline JVM is FRESH and owns exactly `cpus` cores via taskset,
+    // so accumulated parent state (heap, codegen caches, GC debt from 38
+    // queries) cannot contaminate the record; per-run times + GC deltas +
+    // task skew are published verbatim.
+    val childOut = spawnLeg(cpus, iters = 5, rich = true, heap = "8g")
+    def childSeq(tag: String): Seq[String] =
+      s"$tag=([0-9.,-]+)".r.findFirstMatchIn(childOut)
+        .map(_.group(1).split(',').toSeq).getOrElse(Seq.empty)
+    val childRuns = childSeq("LEG_RUNS").flatMap(x => scala.util.Try(x.toDouble).toOption)
+    val childGc = childSeq("LEG_GC").flatMap(x => scala.util.Try(x.toLong).toOption)
+    val childTaskMed = childSeq("LEG_TASKMED").flatMap(x => scala.util.Try(x.toLong).toOption)
+    val childTaskMax = childSeq("LEG_TASKMAX").flatMap(x => scala.util.Try(x.toLong).toOption)
+    childSeq("LEG_OK").flatMap(x => scala.util.Try(x.toLong).toOption)
+      .headOption.foreach(okHi = _)
+    val (headlineMode, headlineRuns, headlineGc, headlineTaskMed, headlineTaskMax) =
+      if (childRuns.size == 5) ("pinned_child", childRuns, childGc, childTaskMed, childTaskMax)
+      else {
+        // fallback: taskset absent or the child died — measure in the
+        // parent as before, visibly labeled (a fallback headline is a
+        // different methodology and must be distinguishable)
+        val runs = (1 to 5).map { _ =>
+          listener.clear()
+          val gc0 = GcClock.ms
+          val sec = timeSec { okHi = extractLeg(spark, pagesPath, 0) }
+          val gc = GcClock.ms - gc0
+          Thread.sleep(300) // let the listener bus drain
+          val (med, max) = listener.skew
+          (sec, gc, med, max)
+        }
+        ("parent_fallback", runs.map(_._1), runs.map(_._2), runs.map(_._3), runs.map(_._4))
+      }
+    val tHiAtCpus = headlineRuns.sorted.apply(headlineRuns.length / 2)
+    // task skew of the SAME run the published time describes
+    val medianIdxH = headlineRuns.indexOf(tHiAtCpus)
+    val medianTaskMs = headlineTaskMed.lift(medianIdxH).getOrElse(0L)
+    val maxTaskMs = headlineTaskMax.lift(medianIdxH).getOrElse(0L)
 
     // ---- skew evidence at bench scale (SURVEY.md §7.6) ----------------
     // The corpus has a 30%-hot domain by construction (CorpusGen
@@ -194,33 +242,7 @@ object Bench {
     // median across three interleaved (lo, hi) pairs — see below.
     var fallbackLegs = 0
     def leg(c: Int): Double = {
-      val javaBin = System.getProperty("java.home") + "/bin/java"
-      // same JPMS opens as build.sbt (Spark 4 on JDK 17 outside spark-submit)
-      val jvmOpts = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar",
-      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      val cmd = Seq("taskset", "-c", s"0-${c - 1}", javaBin) ++ jvmOpts ++ Seq(
-        "-Xmx6g", "-cp", System.getProperty("java.class.path"),
-        "graft.BenchLeg", pagesPath, warmPath, c.toString, "1")
-      // merge stderr into stdout: an un-drained stderr pipe (Spark ERROR
-      // logs, OOM traces) would deadlock the child at ~64KB; scala.util.Try
-      // makes the fallback reachable when the taskset binary is absent
-      val legOut = scala.util.Try {
-        val out = new StringBuilder
-        val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-        val rdr = new java.io.BufferedReader(
-          new java.io.InputStreamReader(proc.getInputStream))
-        var line = rdr.readLine()
-        while (line != null) { out.append(line).append('\n'); line = rdr.readLine() }
-        proc.waitFor()
-        out.toString
-      }.getOrElse("")
+      val legOut = spawnLeg(c, iters = 1, rich = false, heap = "6g")
       "LEG_SEC=([0-9.]+)".r.findFirstMatchIn(legOut)
         .map(_.group(1).toDouble)
         .getOrElse {
@@ -266,6 +288,11 @@ object Bench {
       s""","failed_queries":$failed""" +
       s""","queries_total_sec":${f(total)},"extract_docs":$nDocs,"extract_ok":$okHi,"extract_sec":${f(tHiAtCpus)}""" +
       s""","task_ms_median":$medianTaskMs,"task_ms_max":$maxTaskMs""" +
+      s""","headline":{"mode":"$headlineMode","runs_sec":${headlineRuns.map(f).mkString("[", ",", "]")}""" +
+      s""","gc_ms":${headlineGc.mkString("[", ",", "]")}""" +
+      s""","task_ms_median":${headlineTaskMed.mkString("[", ",", "]")}""" +
+      s""","task_ms_max":${headlineTaskMax.mkString("[", ",", "]")}""" +
+      s""","parent_sec":${f(parentSec)},"parent_gc_ms":$parentGcMs}""" +
       s""","skew_evidence":{"docs":$skewDocs,"hot_domain_share":${f(CorpusGen.HotDomainShare / 10.0)},"domain_partitioned":{"sec":${f(domainSec)},"task_ms_median":$domainMed,"task_ms_max":$domainMax},"salted":{"sec":${f(saltedSec)},"task_ms_median":$saltedMed,"task_ms_max":$saltedMax}}""" +
       s""","scaling":{"cpus_lo":$cpusLo,"sec_lo":${f(tLo)},"cpus_hi":$cpusHi,"sec_hi":${f(tHi)},"efficiency":${f(efficiency)},"fallback_legs":$fallbackLegs}}"""
     println(line)

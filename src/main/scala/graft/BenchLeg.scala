@@ -4,17 +4,27 @@ import org.apache.spark.sql.SparkSession
 import graft.pipeline.ExtractPipeline
 import graft.corpus.CorpusGen
 
-/** One scaling leg, run as its OWN JVM under `taskset -c 0-(N-1)` so the
-  * process — executor threads, GC, JIT — really owns exactly N cores,
+/** One measurement leg, run as its OWN JVM under `taskset -c 0-(N-1)` so
+  * the process — executor threads, GC, JIT — really owns exactly N cores,
   * like an N-core executor would. In-process local[N] legs flatter the
   * small-N side: the JVM's 32 GC/compiler threads run free on the idle
-  * cores. Spawned by graft.Bench; prints LEG_SEC=<best seconds>.
+  * cores. Spawned by graft.Bench.
+  *
+  * Two output protocols on stdout:
+  *   - always: `LEG_SEC=<median seconds>` and `LEG_OK=<ok docs>`;
+  *   - with a 5th arg `rich` (the headline mode, round-3 verdict #1):
+  *     per-run telemetry so a sick run self-diagnoses —
+  *     `LEG_RUNS=` (wall sec per run), `LEG_GC=` (GC-time delta ms per
+  *     run via GarbageCollectorMXBean), `LEG_TASKMED=`/`LEG_TASKMAX=`
+  *     (parse-stage task-skew ms per run).
   */
 object BenchLeg {
   def main(args: Array[String]): Unit = {
-    val Array(pagesPath, warmPath, cpusS, itersS) = args
-    val cpus = cpusS.toInt
-    val iters = itersS.toInt
+    val pagesPath = args(0)
+    val warmPath = args(1)
+    val cpus = args(2).toInt
+    val iters = args(3).toInt
+    val rich = args.length > 4 && args(4) == "rich"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,14 +40,31 @@ object BenchLeg {
         .mapPartitions(it => Iterator.single(it.count(_.ok).toLong))
         .reduce(_ + _)
     }
+    val listener = new TaskTimeListener
+    if (rich) spark.sparkContext.addSparkListener(listener)
     leg(warmPath); leg(pagesPath) // JIT warm
-    val times = (1 to iters).map { _ =>
+    var ok = 0L
+    val runs = (1 to iters).map { _ =>
+      listener.clear()
+      val gc0 = GcClock.ms
       val t0 = System.nanoTime()
-      leg(pagesPath)
-      (System.nanoTime() - t0) / 1e9
-    }.sorted
-    val median = times(times.length / 2)
-    println("LEG_SEC=" + "%.3f".formatLocal(java.util.Locale.ROOT, median))
+      ok = leg(pagesPath)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcDelta = GcClock.ms - gc0
+      if (rich) Thread.sleep(300) // let the listener bus drain
+      val (taskMed, taskMax) = if (rich) listener.skew else (0L, 0L)
+      (sec, gcDelta, taskMed, taskMax)
+    }
+    def f(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    if (rich) {
+      println("LEG_RUNS=" + runs.map(r => f(r._1)).mkString(","))
+      println("LEG_GC=" + runs.map(_._2).mkString(","))
+      println("LEG_TASKMED=" + runs.map(_._3).mkString(","))
+      println("LEG_TASKMAX=" + runs.map(_._4).mkString(","))
+    }
+    val times = runs.map(_._1).sorted
+    println("LEG_SEC=" + f(times(times.length / 2)))
+    println("LEG_OK=" + ok)
     spark.stop()
   }
 }

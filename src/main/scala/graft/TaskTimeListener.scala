@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Collects task wall times so the skew of the parse stage is measurable
+  * (max-task vs median-task — SURVEY.md §7.6). Shared by Bench (skew
+  * evidence legs) and BenchLeg (per-run skew inside the pinned headline
+  * child JVM). */
+private[graft] final class TaskTimeListener extends SparkListener {
+  val times = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+    if (e.taskMetrics != null)
+      times.add((e.stageId, e.taskInfo.finishTime - e.taskInfo.launchTime))
+  def clear(): Unit = times.clear()
+  /** (median, max) task ms within the PARSE stage, identified as the
+    * stage containing the single longest task. Pooling all stages would
+    * let the many sub-50ms scan/reduce tasks set the median; picking by
+    * summed stage time fails too — a wide parquet scan of html bytes can
+    * out-sum a skewed parse stage whose straggler defines the wall time.
+    * The longest task is always a parse task in these jobs (fused
+    * scan+parse for the headline; post-shuffle parse for the skew legs,
+    * where the whole point is its straggler). */
+  def skew: (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val byStage = times.asScala.toSeq.groupBy(_._1)
+    if (byStage.isEmpty) (0L, 0L)
+    else {
+      val xs = byStage.values.maxBy(_.map(_._2).max).map(_._2).toIndexedSeq.sorted
+      (xs(xs.length / 2), xs.last)
+    }
+  }
+}
+
+/** JVM-wide cumulative GC time in ms — deltas around a timed run expose
+  * whether a slow run was GC-bound (the round-3 headline anomaly
+  * diagnostic). */
+private[graft] object GcClock {
+  def ms: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+}
