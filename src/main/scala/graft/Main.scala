@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.corpus.CorpusGen
+import graft.pipeline.Modes
+import graft.sources.Sources
+
+/** The CLI front-end — the literal entry point a sciscraper user types
+  * first (`sciscraper -m <mode> -f <file>`; reference
+  * /root/reference/main.py:40-49 + /root/reference/src/argsbuilder.py:29-76).
+  * Dispatches the seven reference modes (factories.py:95-103) through
+  * [[graft.pipeline.Modes]] and exports the dated CSV
+  * (`{yymmdd}_{mode}.csv`, fetch.py:258-263).
+  *
+  * Offline deviations (SURVEY.md §7.5), same seams as Modes: network
+  * lookups read parquet SNAPSHOT tables from `--snapshots DIR`
+  * (`dimensions/abstracts/citations/figures/scholar.parquet`); the
+  * sci-hub page fetch in download mode synthesizes a deterministic demo
+  * button page per DOI (plug an HTTP fetch into `Modes.download`'s
+  * `pageForDoi` seam for online use). The reference's interactive
+  * mode prompt and profiler flags are dropped (documented in SURVEY.md
+  * §7.5); `-m` is required here instead of prompting.
+  */
+object Main {
+
+  val ModeNames: Seq[String] =
+    Seq("directory", "wordscore", "citations", "download", "images",
+      "fastscore", "google")
+
+  val usage: String =
+    s"""usage: sciscraperspark [options] filepath
+       |
+       |A Spark-native bulk academic-document extraction + scoring pipeline
+       |(re-creation of sciscraper's modes as distributed Dataset transforms).
+       |
+       |options:
+       |  -h, --help            show this help message and exit
+       |  -f, --file FILE       Specify the target file (csv/txt/pdf dir): default: (required)
+       |  -d, --debug BOOL      Specify debug logging output: default: false
+       |  -e, --export BOOL    Specify if exporting dataframe to .csv: default: true
+       |  -m, --mode MODE       Specify the scraper mode to be used, one of
+       |                        {${ModeNames.mkString(",")}}
+       |  -o, --outdir DIR      Export directory: default: export
+       |  -s, --snapshots DIR   Directory of parquet lookup-snapshot tables
+       |                        (dimensions/abstracts/citations/figures/scholar.parquet)
+       |                        standing in for the reference's network lookups
+       |  --target FILE         target word list, one per line: default: built-in demo set
+       |  --bycatch FILE        bycatch word list, one per line: default: built-in demo set
+       |  --pubtype STR         google mode: publication type filter: default: (none)
+       |  --narticles N         google mode: articles per query: default: 30
+       |""".stripMargin
+
+  final case class CliArgs(
+      mode: String = "",
+      file: String = "",
+      export: Boolean = true,
+      debug: Boolean = false,
+      outdir: String = "export",
+      snapshots: String = "",
+      targetPath: String = "",
+      bycatchPath: String = "",
+      pubType: String = "",
+      nArticles: Int = 30,
+      help: Boolean = false)
+
+  /** Parse argv; Left(message) on any error (unknown flag, bad mode,
+    * missing value). Mirrors argsbuilder.py's flag surface. */
+  def parse(argv: Seq[String]): Either[String, CliArgs] = {
+    var a = CliArgs()
+    var rest = argv.toList
+    def bool(s: String): Either[String, Boolean] = s.toLowerCase match {
+      case "true" | "1" | "yes" => Right(true)
+      case "false" | "0" | "no" => Right(false)
+      case other => Left(s"not a boolean: '$other'")
+    }
+    while (rest.nonEmpty) {
+      rest match {
+        case ("-h" | "--help") :: tl => a = a.copy(help = true); rest = tl
+        case ("-m" | "--mode") :: v :: tl =>
+          if (!ModeNames.contains(v))
+            return Left(s"argument -m/--mode: invalid choice: '$v' (choose from ${ModeNames.mkString(", ")})")
+          a = a.copy(mode = v); rest = tl
+        case ("-f" | "--file") :: v :: tl => a = a.copy(file = v); rest = tl
+        case ("-d" | "--debug") :: v :: tl =>
+          bool(v) match {
+            case Right(b) => a = a.copy(debug = b); rest = tl
+            case Left(e) => return Left(s"argument -d/--debug: $e")
+          }
+        case ("-e" | "--export") :: v :: tl =>
+          bool(v) match {
+            case Right(b) => a = a.copy(export = b); rest = tl
+            case Left(e) => return Left(s"argument -e/--export: $e")
+          }
+        case ("-o" | "--outdir") :: v :: tl => a = a.copy(outdir = v); rest = tl
+        case ("-s" | "--snapshots") :: v :: tl => a = a.copy(snapshots = v); rest = tl
+        case "--target" :: v :: tl => a = a.copy(targetPath = v); rest = tl
+        case "--bycatch" :: v :: tl => a = a.copy(bycatchPath = v); rest = tl
+        case "--pubtype" :: v :: tl => a = a.copy(pubType = v); rest = tl
+        case "--narticles" :: v :: tl =>
+          scala.util.Try(v.toInt).toOption match {
+            case Some(n) if n > 0 => a = a.copy(nArticles = n); rest = tl
+            case _ => return Left(s"argument --narticles: not a positive int: '$v'")
+          }
+        case f :: _ if f.startsWith("-") => return Left(s"unrecognized argument: $f")
+        case v :: tl => a = a.copy(file = v); rest = tl // bare positional = filepath
+      }
+    }
+    Right(a)
+  }
+
+  private def snapshot(spark: SparkSession, args: CliArgs, name: String): DataFrame = {
+    require(args.snapshots.nonEmpty,
+      s"mode '${args.mode}' needs --snapshots DIR containing $name.parquet " +
+        "(the offline stand-in for the reference's network lookup; see README)")
+    val p = new java.io.File(args.snapshots, s"$name.parquet")
+    require(p.exists, s"snapshot table not found: $p")
+    spark.read.parquet(p.toString)
+  }
+
+  private def words(spark: SparkSession, path: String, fallback: Seq[String]): Set[String] =
+    if (path.isEmpty) fallback.toSet else Sources.wordSet(spark, path)
+
+  /** Dispatch one mode run; returns the final cleaned frame (the
+    * reference's `SciScraper.__call__` output). Testable without exiting
+    * the JVM; [[main]] adds the session, export and cache release. */
+  def run(spark: SparkSession, args: CliArgs,
+      today: java.time.LocalDate = java.time.LocalDate.now()): DataFrame = {
+    require(args.mode.nonEmpty,
+      s"missing -m/--mode (one of ${ModeNames.mkString(", ")})")
+    require(args.file.nonEmpty, "missing -f/--file (the target csv/txt/pdf dir)")
+    val target = words(spark, args.targetPath, CorpusGen.TargetWords)
+    val bycatch = words(spark, args.bycatchPath, CorpusGen.BycatchWords)
+    args.mode match {
+      case "directory" =>
+        Modes.directory(spark, args.file, target, bycatch,
+          snapshot(spark, args, "dimensions"))
+      case "wordscore" =>
+        Modes.wordscore(spark, args.file,
+          snapshot(spark, args, "dimensions"), snapshot(spark, args, "abstracts"),
+          target, bycatch)
+      case "citations" =>
+        Modes.citations(spark, args.file, snapshot(spark, args, "citations"))
+      case "download" =>
+        // offline fetch seam: deterministic demo button page per DOI
+        // (online: plug an HTTP GET into Modes.download's pageForDoi)
+        Modes.download(spark, args.file,
+          doi => CorpusGen.buttonPage(
+            java.lang.Long.parseLong(Downloads.md5hex8(doi), 16)),
+          "https://sci-hub.example.org/", today)
+      case "images" =>
+        Modes.images(spark, args.file, snapshot(spark, args, "figures"), today)
+      case "fastscore" =>
+        Modes.fastscore(spark, args.file, target, bycatch)
+      case "google" =>
+        Modes.google(spark, args.file, snapshot(spark, args, "scholar"),
+          args.pubType, args.nArticles)
+    }
+  }
+
+  private object Downloads {
+    /** First 8 hex chars of md5 — a compact deterministic DOI->id map for
+      * the demo page synthesizer. */
+    def md5hex8(s: String): String =
+      graft.pipeline.Downloads.md5hex(s).take(8)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    parse(argv.toIndexedSeq) match {
+      case Left(err) =>
+        System.err.println(err); System.err.println(usage); sys.exit(2)
+      case Right(args) if args.help =>
+        println(usage)
+      case Right(args) =>
+        val t0 = System.nanoTime()
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+          .appName("sciscraperspark")
+          .config("spark.sql.shuffle.partitions", "32")
+          .config("spark.sql.session.timeZone", "UTC")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel(if (args.debug) "INFO" else "WARN")
+        try {
+          val today = java.time.LocalDate.now()
+          val out = run(spark, args, today)
+          val n = out.count()
+          if (args.export) {
+            val path = new java.io.File(args.outdir,
+              Sources.exportName(args.mode, today)).toString
+            Sources.exportCsv(out, path)
+            println(s"exported $n rows to $path")
+          } else println(s"computed $n rows (export disabled)")
+          // the reference logs "Extraction finished in %.2f seconds."
+          println(f"Extraction finished in ${(System.nanoTime() - t0) / 1e9}%.2f seconds. ($n rows)")
+        } finally {
+          Modes.releaseCaches()
+          spark.stop()
+        }
+    }
+  }
+}

@@ -47,7 +47,29 @@ object Sources {
   /** CSV export sink — the reference's `df.to_csv(..., index=False)`
     * (/root/reference/src/fetch.py:236-250). `coalesce(1)` reproduces the
     * single-file layout for golden comparison; production writes stay
-    * partitioned parquet (graft.table.GraftTable). */
-  def exportCsv(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    * partitioned parquet (graft.table.GraftTable).
+    *
+    * Complex columns are stringified first (Spark's CSV source refuses
+    * them; pandas to_csv writes their repr): the top-3 term lists render
+    * as the reference's Python list-of-tuples repr
+    * (`[('spark', 2), ...]`, docscraper.py's most_common output); any
+    * other array/struct/map column renders as JSON. */
+  def exportCsv(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, StructType, MapType}
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case ArrayType(st: StructType, _)
+            if st.fieldNames.sameElements(Array("term", "count")) =>
+          concat(lit("["), array_join(transform(col(f.name), x =>
+            concat(lit("('"), x.getField("term"), lit("', "),
+              x.getField("count").cast("string"), lit(")"))), ", "),
+            lit("]")).as(f.name)
+        case _: ArrayType | _: StructType | _: MapType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Enrichment, Modes}
+
+/** The CLI front-end (reference /root/reference/main.py +
+  * src/argsbuilder.py; help-capture test shape mirrors
+  * /root/reference/tests/test_cli.py:16-23).
+  */
+class CliSpec extends AnyFunSuite with SparkTestBase {
+
+  private val today = java.time.LocalDate.of(2026, 8, 16)
+
+  private def tmpDir(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_cli")
+
+  test("--help prints the usage banner (test_cli.py shape)") {
+    // the reference asserts "usage: sciscraper [options]" in captured -h
+    assert(Main.usage.contains("usage: sciscraperspark [options] filepath"))
+    assert(Main.parse(Seq("-h")).exists(_.help))
+    assert(Main.parse(Seq("--help")).exists(_.help))
+    // every mode choice is listed in the help text
+    Main.ModeNames.foreach(m => assert(Main.usage.contains(m)))
+  }
+
+  test("argument parsing mirrors argsbuilder.py's flag surface") {
+    val a = Main.parse(Seq("-m", "fastscore", "-f", "in.csv", "-e", "false",
+      "-d", "true", "-o", "outd", "--narticles", "15")).toOption.get
+    assert(a.mode == "fastscore" && a.file == "in.csv")
+    assert(!a.export && a.debug && a.outdir == "outd" && a.nArticles == 15)
+    // bare positional = filepath (the reference usage line's `filepath`)
+    assert(Main.parse(Seq("-m", "fastscore", "in2.csv")).toOption.get.file == "in2.csv")
+    // invalid mode is rejected with the choice list, like argparse
+    val bad = Main.parse(Seq("-m", "nope"))
+    assert(bad.isLeft && bad.swap.toOption.get.contains("invalid choice"))
+    assert(Main.parse(Seq("--bogus")).isLeft)
+    assert(Main.parse(Seq("--narticles", "zero")).isLeft)
+  }
+
+  test("fastscore mode end-to-end through run(): scored frame, dated export name") {
+    val d = tmpDir()
+    val csv = d.resolve("abstracts.csv")
+    java.nio.file.Files.writeString(csv,
+      "title,abstract\nT0,spark table spark slow\nT1,plain words\n")
+    val args = Main.parse(Seq("-m", "fastscore", "-f", csv.toString)).toOption.get
+    val out = Main.run(spark, args, today)
+    assert(out.count() == 2)
+    assert(out.columns.contains("wordscore") && out.columns.contains("title"))
+    // the export path the CLI would write: {yymmdd}_{mode}.csv (fetch.py:258)
+    assert(graft.sources.Sources.exportName(args.mode, today) == "260816_fastscore.csv")
+    Modes.releaseCaches()
+  }
+
+  test("snapshot-backed mode reads parquet snapshots from --snapshots DIR") {
+    val d = tmpDir()
+    val csv = d.resolve("dois.csv")
+    java.nio.file.Files.writeString(csv, "doi\n10.5555/d0\n10.5555/nope\n")
+    val snapDir = d.resolve("snaps")
+    java.nio.file.Files.createDirectories(snapDir)
+    val sf = "/root/testdata/sf0.001"
+    Enrichment.dimSnap(spark, sf).write
+      .parquet(snapDir.resolve("dimensions.parquet").toString)
+    Enrichment.abstractSnap(spark, sf).write
+      .parquet(snapDir.resolve("abstracts.parquet").toString)
+    val args = Main.parse(Seq("-m", "wordscore", "-f", csv.toString,
+      "-s", snapDir.toString)).toOption.get
+    val out = Main.run(spark, args, today)
+    val rows = out.collect().map(r => r.getAs[String]("doi") -> r).toMap
+    assert(rows.keySet == Set("10.5555/d0", "10.5555/nope"))
+    assert(rows("10.5555/nope").getAs[String]("journal_title") == "N/A")
+    Modes.releaseCaches()
+  }
+
+  test("a snapshot-needing mode without --snapshots fails with a pointed message") {
+    val d = tmpDir()
+    val csv = d.resolve("dois.csv")
+    java.nio.file.Files.writeString(csv, "doi\n10.5555/a\n")
+    val args = Main.parse(Seq("-m", "citations", "-f", csv.toString)).toOption.get
+    val e = intercept[IllegalArgumentException](Main.run(spark, args, today))
+    assert(e.getMessage.contains("--snapshots") && e.getMessage.contains("citations.parquet"))
+  }
+
+  test("download mode through the CLI's offline page seam yields receipts") {
+    val d = tmpDir()
+    val csv = d.resolve("dois.csv")
+    java.nio.file.Files.writeString(csv, "doi\n10.5555/x1\n10.5555/x2\n")
+    val args = Main.parse(Seq("-m", "download", "-f", csv.toString)).toOption.get
+    val out = Main.run(spark, args, today)
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(out.columns.contains("filepath") && out.columns.contains("success"))
+    // deterministic: same DOI -> same demo page -> same receipt
+    val again = Main.run(spark, args, today).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    Modes.releaseCaches()
+  }
+}
