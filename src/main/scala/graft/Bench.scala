@@ -150,8 +150,10 @@ object Bench {
     // of a mystery.
     var okHi = 0L
     val parentGc0 = GcClock.ms
+    val parentCpu0 = CpuClock.ms
     val parentSec = timeSec { okHi = extractLeg(spark, pagesPath, 0) }
     val parentGcMs = GcClock.ms - parentGc0
+    val parentCpuMs = if (parentCpu0 < 0) -1L else CpuClock.ms - parentCpu0
 
     // ---- pinned-child headline (median of 5 runs) -----------------------
     // The headline JVM is FRESH and owns exactly `cpus` cores via taskset,
@@ -166,10 +168,12 @@ object Bench {
     val childGc = childSeq("LEG_GC").flatMap(x => scala.util.Try(x.toLong).toOption)
     val childTaskMed = childSeq("LEG_TASKMED").flatMap(x => scala.util.Try(x.toLong).toOption)
     val childTaskMax = childSeq("LEG_TASKMAX").flatMap(x => scala.util.Try(x.toLong).toOption)
+    val childCpu = childSeq("LEG_CPU").flatMap(x => scala.util.Try(x.toLong).toOption)
     childSeq("LEG_OK").flatMap(x => scala.util.Try(x.toLong).toOption)
       .headOption.foreach(okHi = _)
-    val (headlineMode, headlineRuns, headlineGc, headlineTaskMed, headlineTaskMax) =
-      if (childRuns.size == 5) ("pinned_child", childRuns, childGc, childTaskMed, childTaskMax)
+    val (headlineMode, headlineRuns, headlineGc, headlineTaskMed, headlineTaskMax, headlineCpu) =
+      if (childRuns.size == 5)
+        ("pinned_child", childRuns, childGc, childTaskMed, childTaskMax, childCpu)
       else {
         // fallback: taskset absent or the child died — measure in the
         // parent as before, visibly labeled (a fallback headline is a
@@ -177,13 +181,16 @@ object Bench {
         val runs = (1 to 5).map { _ =>
           listener.clear()
           val gc0 = GcClock.ms
+          val cpu0 = CpuClock.ms
           val sec = timeSec { okHi = extractLeg(spark, pagesPath, 0) }
           val gc = GcClock.ms - gc0
+          val cpu = if (cpu0 < 0) -1L else CpuClock.ms - cpu0
           Thread.sleep(300) // let the listener bus drain
           val (med, max) = listener.skew
-          (sec, gc, med, max)
+          (sec, gc, med, max, cpu)
         }
-        ("parent_fallback", runs.map(_._1), runs.map(_._2), runs.map(_._3), runs.map(_._4))
+        ("parent_fallback", runs.map(_._1), runs.map(_._2), runs.map(_._3),
+          runs.map(_._4), runs.map(_._5))
       }
     val tHiAtCpus = headlineRuns.sorted.apply(headlineRuns.length / 2)
     // task skew of the SAME run the published time describes
@@ -292,7 +299,8 @@ object Bench {
       s""","gc_ms":${headlineGc.mkString("[", ",", "]")}""" +
       s""","task_ms_median":${headlineTaskMed.mkString("[", ",", "]")}""" +
       s""","task_ms_max":${headlineTaskMax.mkString("[", ",", "]")}""" +
-      s""","parent_sec":${f(parentSec)},"parent_gc_ms":$parentGcMs}""" +
+      s""","cpu_ms":${headlineCpu.mkString("[", ",", "]")}""" +
+      s""","parent_sec":${f(parentSec)},"parent_gc_ms":$parentGcMs,"parent_cpu_ms":$parentCpuMs}""" +
       s""","skew_evidence":{"docs":$skewDocs,"hot_domain_share":${f(CorpusGen.HotDomainShare / 10.0)},"domain_partitioned":{"sec":${f(domainSec)},"task_ms_median":$domainMed,"task_ms_max":$domainMax},"salted":{"sec":${f(saltedSec)},"task_ms_median":$saltedMed,"task_ms_max":$saltedMax}}""" +
       s""","scaling":{"cpus_lo":$cpusLo,"sec_lo":${f(tLo)},"cpus_hi":$cpusHi,"sec_hi":${f(tHi)},"efficiency":${f(efficiency)},"fallback_legs":$fallbackLegs}}"""
     println(line)

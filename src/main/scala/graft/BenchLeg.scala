@@ -47,13 +47,15 @@ object BenchLeg {
     val runs = (1 to iters).map { _ =>
       listener.clear()
       val gc0 = GcClock.ms
+      val cpu0 = CpuClock.ms
       val t0 = System.nanoTime()
       ok = leg(pagesPath)
       val sec = (System.nanoTime() - t0) / 1e9
       val gcDelta = GcClock.ms - gc0
+      val cpuDelta = if (cpu0 < 0) -1L else CpuClock.ms - cpu0
       if (rich) Thread.sleep(300) // let the listener bus drain
       val (taskMed, taskMax) = if (rich) listener.skew else (0L, 0L)
-      (sec, gcDelta, taskMed, taskMax)
+      (sec, gcDelta, taskMed, taskMax, cpuDelta)
     }
     def f(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     if (rich) {
@@ -61,6 +63,7 @@ object BenchLeg {
       println("LEG_GC=" + runs.map(_._2).mkString(","))
       println("LEG_TASKMED=" + runs.map(_._3).mkString(","))
       println("LEG_TASKMAX=" + runs.map(_._4).mkString(","))
+      println("LEG_CPU=" + runs.map(_._5).mkString(","))
     }
     val times = runs.map(_._1).sorted
     println("LEG_SEC=" + f(times(times.length / 2)))

@@ -41,3 +41,18 @@ private[graft] object GcClock {
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 }
+
+/** Process CPU time in ms (com.sun OperatingSystemMXBean; -1 when the
+  * bean is unavailable). A slow run's cpu/wall ratio CLASSIFIES it:
+  * ratio near the core count means the JVM did more work (GC, codegen,
+  * plan blow-up — engine's fault); ratio far below means the hypervisor
+  * starved a busy JVM of cycles (host's fault). */
+private[graft] object CpuClock {
+  def ms: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        val ns = b.getProcessCpuTime
+        if (ns < 0) -1L else ns / 1000000L
+      case _ => -1L
+    }
+}

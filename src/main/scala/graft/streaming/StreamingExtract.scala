@@ -57,8 +57,11 @@ object StreamingExtract {
       checkpointDir: String,
       targetWords: Set[String],
       bycatchWords: Set[String],
-      availableNow: Boolean = true): StreamingQuery = {
-    val scored = scoredStream(pagesStream(spark, inDir), targetWords, bycatchWords)
+      availableNow: Boolean = true,
+      dedup: Boolean = false): StreamingQuery = {
+    val src = pagesStream(spark, inDir)
+    val scored = scoredStream(
+      if (dedup) dedupStream(src) else src, targetWords, bycatchWords)
     val writer = scored.toDF().writeStream
       .format("parquet")
       .option("path", outDir)

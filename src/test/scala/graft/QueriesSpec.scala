@@ -65,10 +65,10 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
 
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Queries.all.count(_.oracle.isDefined)
-    // 38 queries, 35 oracled; q17/q19/q27 are the genuinely non-SQL ops
-    // (byte-identical extraction, resume lineage, winnowing), each pinned
-    // by sbt goldens instead
-    assert(withOracle == 35)
+    // 40 queries, 36 oracled; q17/q19/q27/q40 are the genuinely non-SQL
+    // ops (byte-identical extraction, resume lineage, winnowing, the
+    // streaming extract rollup), each pinned by sbt goldens instead
+    assert(withOracle == 36)
     // no duplicate query names (the Map would silently collapse them and
     // the driver would lose a query)
     assert(SparkEntry.queries.size == Queries.all.size)
