@@ -86,6 +86,14 @@ object ScaleBench {
     "q24_ann_lsh", "q25_dedup_groups", "q26_embed_near_dup",
     "q27_winnow_fingerprints", "q34_ann_ivf", "q35_training_set")
 
+  /** x30 runs only the two queries that grew SUPER-linearly at x10
+    * (q15 2.40x, q26 2.20x — round-3 verdict #7): one more order-of-
+    * magnitude point shows whether the growth stays ~n.log-ish or an AQE
+    * plan flip appears at the next scale. q16 is excluded by design: it
+    * is the guarded brute-force baseline and 150k docs approaches its
+    * refuse threshold's spirit. */
+  private val SuiteX30 = Seq("q15_lsh_near_dup", "q26_embed_near_dup")
+
   def main(args: Array[String]): Unit = {
     // timing harness: no verification aux dumps in the timed legs (none
     // of the Suite queries dump today, but the gate keeps that true)
@@ -100,8 +108,11 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = new java.io.File("target/scale").getAbsolutePath
-    val scales = Seq(("x1", 5000L, 2000L), ("x10", 50000L, 20000L))
-    scales.foreach { case (tag, d, v) => writeTables(spark, s"$root/$tag", d, v) }
+    val scales = Seq(
+      ("x1", 5000L, 2000L, Suite),
+      ("x10", 50000L, 20000L, Suite),
+      ("x30", 150000L, 60000L, SuiteX30))
+    scales.foreach { case (tag, d, v, _) => writeTables(spark, s"$root/$tag", d, v) }
 
     // JIT warmup on a SEPARATE tiny dir — warming on x1 itself would
     // leave q15's result cache (Q15Result is keyed by dir) hot and the
@@ -110,8 +121,8 @@ object ScaleBench {
     Suite.foreach(n => Queries.all.find(_.name == n).get.fn(spark, s"$root/warm").count())
 
     def f(x: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, x)
-    val times = scales.map { case (tag, _, _) =>
-      tag -> Suite.map { name =>
+    val times = scales.map { case (tag, _, _, suite) =>
+      tag -> suite.map { name =>
         val fn = Queries.all.find(_.name == name).get.fn
         val t0 = System.nanoTime()
         val rows = fn(spark, s"$root/$tag").count()
@@ -129,7 +140,9 @@ object ScaleBench {
       }.mkString(",")
       val ratios = times("x10")
         .map(t => s""""${t._1}":${f(t._2 / math.max(x1(t._1), 1e-9))}""").mkString(",")
-      s"""{"metric":"scale_evidence_10x","docs":[5000,50000],"vecs":[2000,20000],$per,$rows,"ratio_x10_over_x1":{$ratios}}"""
+      val ratios30 = times("x30")
+        .map(t => s""""${t._1}":${f(t._2 / math.max(x1(t._1), 1e-9))}""").mkString(",")
+      s"""{"metric":"scale_evidence_10x","docs":[5000,50000,150000],"vecs":[2000,20000,60000],$per,$rows,"ratio_x10_over_x1":{$ratios},"ratio_x30_over_x1":{$ratios30}}"""
     }
     println(line)
     scala.util.Try(java.nio.file.Files.writeString(

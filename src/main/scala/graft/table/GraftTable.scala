@@ -48,7 +48,15 @@ object GraftTable {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def completedBuckets(spark: SparkSession, root: String): Set[Int] = {
+  def completedBuckets(spark: SparkSession, root: String): Set[Int] =
+    completedLineage(spark, root).keySet
+
+  /** (bucket -> committed n_docs) from the durable lineage rows — the
+    * resume gate AND the cumulative-doc base the snapshot manifests
+    * record (a snapshot claiming committed docs but listing zero files is
+    * data loss, and the claim must survive resumes whose earlier waves
+    * this run never saw). */
+  private def completedLineage(spark: SparkSession, root: String): Map[Int, Long] = {
     val lineagePath = s"$root/lineage"
     val hfs = fs(spark, root)
     val p = new org.apache.hadoop.fs.Path(lineagePath)
@@ -58,10 +66,11 @@ object GraftTable {
     // would throw schema-inference errors on every subsequent resume
     val hasData = hfs.exists(p) &&
       hfs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
-    if (!hasData) Set.empty
+    if (!hasData) Map.empty
     else {
       import spark.implicits._
-      spark.read.parquet(lineagePath).select("bucket").as[Int].collect().toSet
+      spark.read.parquet(lineagePath).select("bucket", "n_docs")
+        .as[(Int, Long)].collect().toMap
     }
   }
 
@@ -111,7 +120,12 @@ object GraftTable {
       finally out.close()
     }
 
-    val done = completedBuckets(spark, root)
+    val doneLineage = completedLineage(spark, root)
+    val done = doneLineage.keySet
+    // docs already committed by EARLIER runs: the snapshot manifests
+    // record the cumulative total so time travel can tell "legally empty"
+    // from "committed data vanished" even when the loss predates this run
+    val doneDocs = doneLineage.values.sum
     val all = (0 until nBuckets).toSet
     val remaining = (all -- done).toList.sorted
 
@@ -217,10 +231,12 @@ object GraftTable {
       lineage.coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/lineage")
 
       manifestFiles = manifestFiles ++ listBucketFiles(hfs, root, wave)
+      val waveDocsSum = metrics.map(_.n_docs).sum
       writeSnapshot(hfs, root, waveIdx, wave,
-        metrics.map(m => (m.bucket, m.n_docs)), manifestFiles)
+        metrics.map(m => (m.bucket, m.n_docs)), manifestFiles,
+        cumulativeDocs = doneDocs + totalDocs + waveDocsSum)
       processed += wave.size
-      totalDocs += metrics.map(_.n_docs).sum
+      totalDocs += waveDocsSum
       totalOk += metrics.map(_.n_ok).sum
       totalErr += metrics.map(_.n_err).sum
       totalBytes += metrics.map(_.bytes_in).sum
@@ -253,7 +269,7 @@ object GraftTable {
   private def writeSnapshot(
       hfs: org.apache.hadoop.fs.FileSystem,
       root: String, waveIdx: Int, buckets: Seq[Int], counts: Seq[(Int, Long)],
-      cumulativeFiles: Seq[String]): Unit = {
+      cumulativeFiles: Seq[String], cumulativeDocs: Long): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$root/manifest")
     hfs.mkdirs(dir)
     val existing = scala.util.Try(
@@ -268,6 +284,7 @@ object GraftTable {
          |"wave": $waveIdx,
          |"buckets": [${buckets.mkString(",")}],
          |"bucket_docs": {${counts.map { case (b, n) => s""""$b": $n""" }.mkString(",")}},
+         |"total_docs": $cumulativeDocs,
          |"files": [${files.map(f => s""""$f"""").mkString(",")}],
          |"schema_id": 1}""".stripMargin
     val out = hfs.create(
@@ -304,14 +321,23 @@ object GraftTable {
       // writeSnapshot skips committed bucket dirs that are MISSING at
       // listing time, so "files": [] alongside non-zero recorded doc
       // counts means committed data vanished — that must stay a loud
-      // error, not an empty table
-      val waveDocs = "\"bucket_docs\": \\{([^}]*)\\}".r.findFirstMatchIn(json)
-        .map(_.group(1)).getOrElse("")
-        .split(",").map(_.trim).filter(_.nonEmpty)
-        .map(kv => kv.substring(kv.lastIndexOf(':') + 1).trim.toLong).sum
-      if (waveDocs > 0)
+      // error, not an empty table. The check uses the CUMULATIVE
+      // total_docs (all committed waves, carried across resumes), not
+      // just this snapshot's own wave: an all-empty final wave appended
+      // after earlier bucket files vanished would otherwise read as a
+      // legal empty table (round-3 ADVICE). Older snapshots without
+      // total_docs fall back to the per-wave sum.
+      val committedDocs = "\"total_docs\": (\\d+)".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong)
+        .getOrElse {
+          "\"bucket_docs\": \\{([^}]*)\\}".r.findFirstMatchIn(json)
+            .map(_.group(1)).getOrElse("")
+            .split(",").map(_.trim).filter(_.nonEmpty)
+            .map(kv => kv.substring(kv.lastIndexOf(':') + 1).trim.toLong).sum
+        }
+      if (committedDocs > 0)
         throw new IllegalStateException(
-          s"snapshot-$snapshotId records $waveDocs committed docs but zero " +
+          s"snapshot-$snapshotId records $committedDocs committed docs but zero " +
           "data files — committed bucket directories are missing (data loss)")
       // a snapshot whose committed buckets all held zero pages is legal
       // (runResumable writes zero-row lineage for empty buckets); its

@@ -117,4 +117,39 @@ class GraftTableSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("data loss"))
   }
+
+  test("snapshot data-loss check uses CUMULATIVE docs, not just the final wave") {
+    // round-3 ADVICE: a snapshot whose OWN wave was all-empty but whose
+    // earlier committed buckets' files vanished before the manifest write
+    // records bucket_docs {} / files [] — the per-wave sum would read it
+    // as a legal empty table. total_docs carries the cumulative count, so
+    // the loss stays loud.
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl_cum").toString
+    val dir = new java.io.File(s"$root/manifest"); dir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "snapshot-2.json").toPath,
+      """{"snapshot_id": 2,
+        |"wave": 1,
+        |"buckets": [5],
+        |"bucket_docs": {"5": 0},
+        |"total_docs": 500,
+        |"files": [],
+        |"schema_id": 1}""".stripMargin)
+    val e = intercept[IllegalStateException] {
+      GraftTable.readSnapshot(spark, root, 2)
+    }
+    assert(e.getMessage.contains("500") && e.getMessage.contains("data loss"))
+    // and real runs WRITE the cumulative count: run 2 waves, check the
+    // last snapshot's total_docs equals the whole table
+    val root2 = java.nio.file.Files.createTempDirectory("graft_tbl_cum2").toString
+    GraftTable.runResumable(spark, ExtractPipeline.pages(spark, 80, 2), root2,
+      nBuckets = 4, bucketsPerWave = 2,
+      CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet, tasksPerWave = 2)
+    val snaps = new java.io.File(s"$root2/manifest").list()
+      .filter(_.startsWith("snapshot-")).sorted
+    val lastJson = java.nio.file.Files.readString(
+      new java.io.File(s"$root2/manifest/${snaps.last}").toPath)
+    val total = "\"total_docs\": (\\d+)".r.findFirstMatchIn(lastJson).map(_.group(1).toLong)
+    assert(total.contains(80L), s"last snapshot total_docs=$total, want 80")
+  }
 }

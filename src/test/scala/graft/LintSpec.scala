@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.expressions.EqualTo
+import graft.queries.Queries
+
+/** Regression armor for the two bug classes this project actually hit
+  * (round-3 verdict next-round #10):
+  *   - a self-join whose condition resolved BOTH sides to the same
+  *     attribute (the q35 aliasing bug): the predicate is trivially true
+  *     and the join silently stops enforcing anything;
+  *   - a persisted intermediate without an unpersist owner (the round-1
+  *     q25 pathology's cousin): every bench sweep leaks a generation of
+  *     cache blocks.
+  */
+class LintSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("no analyzed plan contains a trivially-true self-equality (join aliasing lint)") {
+    // the oracled queries cover every join in the suite; the 4 non-SQL
+    // ops (q17/q19/q27/q40) run whole pipelines eagerly and join nothing
+    // the oracled set doesn't
+    Queries.all.filter(_.oracle.isDefined).foreach { q =>
+      val plan = q.fn(spark, sf).queryExecution.analyzed
+      plan.foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case e @ EqualTo(l, r) if l.semanticEquals(r) =>
+            fail(s"${q.name}: trivially-true predicate $e in:\n$node")
+          case _ => ()
+        })
+      }
+    }
+  }
+
+  test("every persist in Queries.scala has a registered cache owner (source lint)") {
+    val lines = scala.io.Source.fromFile(
+      "src/main/scala/graft/queries/Queries.scala", "UTF-8").getLines().toVector
+    val persistIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains(".persist(") => i
+    }
+    assert(persistIdx.nonEmpty, "expected persisted intermediates in Queries.scala")
+    persistIdx.foreach { i =>
+      // the owner registration FOLLOWS the persist (possibly after the
+      // comment blocks documenting the other persisted frames of the same
+      // query) — look 30 lines ahead, 5 behind
+      val window = lines.slice(math.max(0, i - 5),
+        math.min(lines.length, i + 30)).mkString("\n")
+      assert(window.contains("SwapCache.swap") || window.contains("cached ="),
+        s"persist at Queries.scala:${i + 1} has no SwapCache/Q15Result owner " +
+          "within 30 lines — an unowned persist leaks a cache generation per sweep")
+    }
+  }
+
+  test("repeated invocations of the persisting queries do not grow the cache") {
+    spark.catalog.clearCache()
+    val persisting = Seq("q15_lsh_near_dup", "q24_ann_lsh", "q26_embed_near_dup")
+    def runAll(): Unit = persisting.foreach(n =>
+      Queries.all.find(_.name == n).get.fn(spark, sf).count())
+    runAll()
+    val n1 = spark.sparkContext.getPersistentRDDs.size
+    runAll()
+    val n2 = spark.sparkContext.getPersistentRDDs.size
+    // SwapCache swaps generations and Q15Result reuses its hit, so a
+    // second sweep must not add blocks; growth means a persist lost its
+    // owner (each unowned persist leaks one generation per sweep)
+    assert(n2 <= n1, s"persisted RDDs grew $n1 -> $n2 across a repeat sweep")
+  }
+}
