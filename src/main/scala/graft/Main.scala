@@ -63,6 +63,11 @@ object Main {
       nArticles: Int = 30,
       help: Boolean = false)
 
+  private val ValueFlags = Set(
+    "-m", "--mode", "-f", "--file", "-d", "--debug", "-e", "--export",
+    "-o", "--outdir", "-s", "--snapshots", "--target", "--bycatch",
+    "--pubtype", "--narticles")
+
   /** Parse argv; Left(message) on any error (unknown flag, bad mode,
     * missing value). Mirrors argsbuilder.py's flag surface. */
   def parse(argv: Seq[String]): Either[String, CliArgs] = {
@@ -101,6 +106,11 @@ object Main {
             case Some(n) if n > 0 => a = a.copy(nArticles = n); rest = tl
             case _ => return Left(s"argument --narticles: not a positive int: '$v'")
           }
+        // a KNOWN value-taking flag in final position: the two-element
+        // patterns above cannot match a one-element list, so without this
+        // case the user would be told the flag itself is unrecognized
+        case f :: Nil if ValueFlags.contains(f) =>
+          return Left(s"argument $f: expected one argument")
         case f :: _ if f.startsWith("-") => return Left(s"unrecognized argument: $f")
         case v :: tl => a = a.copy(file = v); rest = tl // bare positional = filepath
       }
@@ -127,6 +137,10 @@ object Main {
       today: java.time.LocalDate = java.time.LocalDate.now()): DataFrame = {
     require(args.mode.nonEmpty,
       s"missing -m/--mode (one of ${ModeNames.mkString(", ")})")
+    // parse() already validates the choice, but run() is public API for
+    // programmatic CliArgs too — fail pointedly, not with a MatchError
+    require(ModeNames.contains(args.mode),
+      s"invalid mode '${args.mode}' (one of ${ModeNames.mkString(", ")})")
     require(args.file.nonEmpty, "missing -f/--file (the target csv/txt/pdf dir)")
     val target = words(spark, args.targetPath, CorpusGen.TargetWords)
     val bycatch = words(spark, args.bycatchPath, CorpusGen.BycatchWords)

@@ -31,14 +31,30 @@ object Modes {
     * re-execute the whole mode pipeline (repeating side effects behind an
     * online fetch seam). This queue is the HANDLE the round-3 advice
     * asked for: call [[releaseCaches]] once the mode's outputs are
-    * consumed (the CLI does so after its export). */
+    * consumed (the CLI does so after its export).
+    *
+    * The queue is BOUNDED (64 entries): when a 65th mode run registers
+    * its cache, the oldest entry is unpersisted and dropped, so a
+    * service that loops over modes without ever releasing retains at
+    * most 64 generations of plans/closures instead of growing forever.
+    * 64 concurrent in-flight mode runs on one session is far past any
+    * realistic tenancy; entry 1 is stale by the time entry 65 exists. */
+  private val MaxLiveCaches = 64
   private val liveCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Unpersist every frame [[finish]] cached since the last release.
     * Safe to call any time after the caller's final action on the mode
     * outputs; a later action on a released frame recomputes instead of
-    * failing. */
+    * failing.
+    *
+    * GLOBAL drain: it releases the caches of ALL in-flight mode runs in
+    * this JVM — intended for single-tenant drivers (the CLI, a batch
+    * job). A service running concurrent mode pipelines on one session
+    * must not call this mid-flight from one tenant (another tenant's
+    * pre-action cache would be dropped and its pipeline — including any
+    * online fetch seam — would re-execute); rely on the weak-reference +
+    * ContextCleaner path there, or scope a session per run. */
   def releaseCaches(): Unit = {
     var df = liveCaches.poll()
     while (df != null) {
@@ -58,6 +74,10 @@ object Modes {
   def finish(df: DataFrame): DataFrame = {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     liveCaches.add(cached)
+    while (liveCaches.size > MaxLiveCaches) {
+      val oldest = liveCaches.poll()
+      if (oldest != null) scala.util.Try(oldest.unpersist(false))
+    }
     Casting.dataframeCasting(Stagers.dropAllEmptyColumns(cached))
   }
 

@@ -35,6 +35,14 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
     assert(bad.isLeft && bad.swap.toOption.get.contains("invalid choice"))
     assert(Main.parse(Seq("--bogus")).isLeft)
     assert(Main.parse(Seq("--narticles", "zero")).isLeft)
+    // a known flag with its value missing gets the argparse-style
+    // diagnostic, not "unrecognized argument"
+    val dangling = Main.parse(Seq("-f", "in.csv", "-m"))
+    assert(dangling.swap.toOption.get.contains("expected one argument"))
+    // run() with a programmatically built bad mode fails pointedly
+    val e = intercept[IllegalArgumentException](
+      Main.run(spark, Main.CliArgs(mode = "images2", file = "x.csv"), today))
+    assert(e.getMessage.contains("invalid mode"))
   }
 
   test("fastscore mode end-to-end through run(): scored frame, dated export name") {
