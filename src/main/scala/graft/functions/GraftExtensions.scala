@@ -14,30 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(clazz: Class[_], name: String) =
-    new ExpressionInfo(clazz.getName, name)
-
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("half_float"),
-      info(classOf[HalfFloat], "half_float"),
-      (exprs: Seq[Expression]) => {
-        GraftFunctions.requireArity("half_float", exprs, 1)
-        HalfFloat(exprs.head)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      info(classOf[SimHash64], "simhash64"),
-      (exprs: Seq[Expression]) => {
-        GraftFunctions.requireArity("simhash64", exprs, 1)
-        SimHash64(exprs.head)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("dot_i64"),
-      info(classOf[DotI64], "dot_i64"),
-      (exprs: Seq[Expression]) => {
-        GraftFunctions.requireArity("dot_i64", exprs, 2)
-        DotI64(exprs(0), exprs(1))
-      }))
-  }
+  /** Iterates the SAME registry as GraftFunctions.registerAll — the two
+    * registration surfaces cannot drift apart. */
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registry.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder))
+    }
 }

@@ -257,18 +257,25 @@ object GraftFunctions {
       throw new IllegalArgumentException(
         s"$name expects $n argument(s), got ${exprs.length}")
 
-  def registerAll(spark: SparkSession): Unit = {
-    Shim.registerFunction(spark, "half_float", exprs => {
-      requireArity("half_float", exprs, 1); HalfFloat(exprs.head)
-    })
-    Shim.registerFunction(spark, "simhash64", exprs => {
-      requireArity("simhash64", exprs, 1); SimHash64(exprs.head)
-    })
-    Shim.registerFunction(spark, "dot_i64", exprs => {
-      requireArity("dot_i64", exprs, 2); DotI64(exprs(0), exprs(1))
-    })
-    Shim.registerFunction(spark, "minhash_bands", exprs => {
-      requireArity("minhash_bands", exprs, 1); MinHashBands(exprs.head)
-    })
-  }
+  /** ONE registry consumed by BOTH registration surfaces — per-session
+    * [[registerAll]] and the spark.sql.extensions path
+    * ([[GraftExtensions]]) — so a function added here is structurally
+    * incapable of existing on only one path (the round-4 review caught
+    * minhash_bands registered per-session but missing from the
+    * extensions table). */
+  private[functions] val registry: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("half_float", classOf[HalfFloat],
+      (exprs: Seq[Expression]) => { requireArity("half_float", exprs, 1); HalfFloat(exprs.head) }),
+    ("simhash64", classOf[SimHash64],
+      (exprs: Seq[Expression]) => { requireArity("simhash64", exprs, 1); SimHash64(exprs.head) }),
+    ("dot_i64", classOf[DotI64],
+      (exprs: Seq[Expression]) => { requireArity("dot_i64", exprs, 2); DotI64(exprs(0), exprs(1)) }),
+    ("minhash_bands", classOf[MinHashBands],
+      (exprs: Seq[Expression]) => { requireArity("minhash_bands", exprs, 1); MinHashBands(exprs.head) }),
+  )
+
+  def registerAll(spark: SparkSession): Unit =
+    registry.foreach { case (name, _, builder) =>
+      Shim.registerFunction(spark, name, builder)
+    }
 }

@@ -58,10 +58,11 @@ object StreamingExtract {
       targetWords: Set[String],
       bycatchWords: Set[String],
       availableNow: Boolean = true,
-      dedup: Boolean = false): StreamingQuery = {
+      dedup: Boolean = false,
+      dedupDelay: String = "1 hour"): StreamingQuery = {
     val src = pagesStream(spark, inDir)
     val scored = scoredStream(
-      if (dedup) dedupStream(src) else src, targetWords, bycatchWords)
+      if (dedup) dedupStream(src, dedupDelay) else src, targetWords, bycatchWords)
     val writer = scored.toDF().writeStream
       .format("parquet")
       .option("path", outDir)
@@ -87,10 +88,22 @@ object StreamingExtract {
     * analogs are q13/q15). dropDuplicatesWithinWatermark is required for
     * bounded state: plain dropDuplicates("url") never evicts because the
     * event-time column is not part of the key, so state would grow with
-    * every url ever seen. */
-  def dedupStream(pages: Dataset[PageRecord]): Dataset[PageRecord] =
+    * every url ever seen.
+    *
+    * CORRECTNESS/STATE TRADE-OFF the caller must size: the watermark
+    * does not only bound dedup state, it also DROPS any row whose
+    * warc_ts is older than (max seen warc_ts - delay) — including unique
+    * rows. That is inherent to bounded-state streaming dedup, but it
+    * means a multi-micro-batch BACKFILL whose files are not ordered by
+    * event time can silently lose late uniques relative to the batch
+    * pipeline. Size `delay` to cover the ingest's event-time disorder
+    * (live crawl feeds: the crawl-to-land lag; unordered backfills: the
+    * full warc_ts span, or dedup in batch instead). */
+  def dedupStream(
+      pages: Dataset[PageRecord],
+      delay: String = "1 hour"): Dataset[PageRecord] =
     pages
-      .withWatermark("warc_ts", "1 hour")
+      .withWatermark("warc_ts", delay)
       .dropDuplicatesWithinWatermark("url")
 
   /** Stream-static enrichment: LEFT join each micro-batch of scored docs
@@ -100,10 +113,17 @@ object StreamingExtract {
     * broadcast keeps it off the shuffle path, so this adds no state store
     * and no watermark requirement. Misses stay null (the reference's
     * None-on-miss), fillable downstream like the batch path. */
-  def enrichStream(scored: Dataset[ScoredDoc], snapshot: DataFrame): DataFrame =
-    scored.toDF()
+  def enrichStream(scored: Dataset[ScoredDoc], snapshot: DataFrame): DataFrame = {
+    val left = scored.toDF()
       .select("url", "kind", "doi", "title", "wordscore")
-      .join(broadcast(snapshot), Seq("doi"), "left")
+    // snapshots routinely share non-key column names with the stream
+    // (title, url, ...): prefix them so the joined frame has no ambiguous
+    // references (the batch API-field-remap analog, SURVEY.md §2 row 44)
+    val clashes = snapshot.columns.toSet.intersect(left.columns.toSet) - "doi"
+    val safe = clashes.foldLeft(snapshot)(
+      (df, c) => df.withColumnRenamed(c, s"snapshot_$c"))
+    left.join(broadcast(safe), Seq("doi"), "left")
+  }
 }
 
 /** Custom streaming state via flatMapGroupsWithState: a per-domain crawl

@@ -48,6 +48,20 @@ object GraftTable {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Read a (small) FS file fully as UTF-8 — manifest/meta JSON reads. */
+  private def readUtf8(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = hfs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toString("UTF-8")
+    } finally in.close()
+  }
+
   def completedBuckets(spark: SparkSession, root: String): Set[Int] =
     completedLineage(spark, root).keySet
 
@@ -99,14 +113,7 @@ object GraftTable {
     val hfsMeta = fs(spark, root)
     val metaPath = new org.apache.hadoop.fs.Path(s"$root/manifest/table-meta.json")
     if (hfsMeta.exists(metaPath)) {
-      val in = hfsMeta.open(metaPath)
-      val metaJson = try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var k = in.read(buf)
-        while (k >= 0) { bos.write(buf, 0, k); k = in.read(buf) }
-        bos.toString("UTF-8")
-      } finally in.close()
+      val metaJson = readUtf8(hfsMeta, metaPath)
       val stored = "\"n_buckets\": (\\d+)".r.findFirstMatchIn(metaJson).map(_.group(1).toInt)
       require(stored.contains(nBuckets),
         s"resume with nBuckets=$nBuckets, but this table was created with " +
@@ -301,14 +308,7 @@ object GraftTable {
     val hfs = fs(spark, root)
     val p = new org.apache.hadoop.fs.Path(s"$root/manifest/snapshot-$snapshotId.json")
     require(hfs.exists(p), s"no snapshot-$snapshotId under $root/manifest")
-    val in = hfs.open(p)
-    val json = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      bos.toString("UTF-8")
-    } finally in.close()
+    val json = readUtf8(hfs, p)
     val files = "\"files\": \\[([^\\]]*)\\]".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse(
         throw new IllegalStateException(

@@ -82,8 +82,52 @@ object Float16 {
     java.lang.Float.intBitsToFloat(bits)
   }
 
+  /** double -> binary16 bits in ONE rounding, matching numpy's direct
+    * float64 -> float16 cast. Routing through float32 first would
+    * double-round: a double just above a float16 tie can land exactly ON
+    * the tie after the float32 rounding and then break the wrong way
+    * (e.g. 1 + 2^-11 + 2^-25 -> float32 1 + 2^-11 -> ties-to-even DOWN
+    * to 1.0, where numpy rounds the original double UP to
+    * 1.0009765625). */
+  def doubleToHalfBits(d: Double): Short = {
+    val bits = java.lang.Double.doubleToRawLongBits(d)
+    val sign = ((bits >>> 48) & 0x8000L).toInt
+    val absBits = bits & 0x7fffffffffffffffL
+
+    if (absBits >= 0x7ff0000000000000L) {
+      // Inf / NaN (quiet NaN keeps a payload bit, like the float path)
+      val mant = if (absBits > 0x7ff0000000000000L) 0x0200 else 0
+      return (sign | 0x7c00 | mant | ((bits >>> 42) & 0x03ff).toInt).toShort
+    }
+    val e = ((absBits >>> 52) - 1023).toInt
+    if (e >= 16) return (sign | 0x7c00).toShort // overflow -> Inf
+    if (e >= -14) {
+      // normal half: 52 -> 10 mantissa bits
+      val mant = (absBits & 0x000fffffffffffffL) | 0x0010000000000000L
+      val shift = 42
+      val rem = mant & ((1L << shift) - 1)
+      var h = ((e + 15) << 10) | ((mant >>> shift).toInt & 0x03ff)
+      val halfway = 1L << (shift - 1)
+      if (rem > halfway || (rem == halfway && (h & 1) == 1)) h += 1
+      (sign | h).toShort // mantissa overflow carries into exponent correctly
+    } else if (e >= -25) {
+      // subnormal half
+      val mant = (absBits & 0x000fffffffffffffL) | 0x0010000000000000L
+      val shift = 42 + (-14 - e) // 43..53, always < 63
+      val rem = mant & ((1L << shift) - 1)
+      var h = (mant >>> shift).toInt
+      val halfway = 1L << (shift - 1)
+      if (rem > halfway || (rem == halfway && (h & 1) == 1)) h += 1
+      (sign | h).toShort
+    } else {
+      sign.toShort // underflow -> signed zero
+    }
+  }
+
   /** The quantization used on export: value as float16 re-widened. */
   def quantize(f: Float): Float = halfBitsToFloat(floatToHalfBits(f))
 
-  def quantize(d: Double): Float = quantize(d.toFloat)
+  /** Double input takes the single-rounding path (numpy parity) — NOT
+    * d.toFloat then the float path, which double-rounds at ties. */
+  def quantize(d: Double): Float = halfBitsToFloat(doubleToHalfBits(d))
 }

@@ -21,13 +21,19 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
         .master("local[2]")
         .withExtensions(new graft.functions.GraftExtensions())
         .getOrCreate()
+      // ALL FOUR registered expressions — the extensions path iterates
+      // the same registry as registerAll, so a function missing here is
+      // a registry bug, not a copy-table drift (the round-4 review found
+      // minhash_bands absent from the old hand-written table)
       val row = s2.sql(
         """SELECT half_float(0.7425D) AS h,
                   simhash64('the quick brown fox') AS s,
-                  dot_i64(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d""").head()
+                  dot_i64(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d,
+                  minhash_bands(array('ab', 'cd')) AS m""").head()
       assert(row.getFloat(0) == graft.textops.Float16.quantize(0.7425))
       assert(row.getLong(1) == graft.functions.SimHash64.compute("the quick brown fox"))
       assert(row.getLong(2) == 32L)
+      assert(row.getSeq[String](3).length == 4) // 4 r=2 band buckets
       // wrong arity fails analysis with a NAMED message, not a raw
       // NoSuchElementException from exprs.head
       val e = intercept[Exception] { s2.sql("SELECT dot_i64(array(1L))").head() }

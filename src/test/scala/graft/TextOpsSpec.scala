@@ -88,6 +88,66 @@ class TextOpsSpec extends AnyFunSuite with TableDrivenPropertyChecks {
     assert(Float16.quantize(0.1f) == 0.0999755859375f) // np.float16(0.1)
     assert(Float16.quantize(65504f) == 65504f) // fp16 max
     assert(Float16.quantize(65520f).isPosInfinity) // overflow rounds to inf
+  }
+
+  test("double -> float16 single-rounds like numpy (no float32 double-rounding)") {
+    // (doubleBits, float32 bits of np.float32(np.float64(d).astype(np.float16)))
+    // generated with numpy; includes the double-rounding tie 1+2^-11+2^-25
+    // (float32-first would round it DOWN to 1.0), exact ties both
+    // directions, the 65520 overflow tie, the 65519.999999 near-tie that
+    // must NOT overflow, subnormal boundaries and the 2^-25 underflow tie
+    val goldens: Seq[(Long, Int)] = Seq(
+      (0L, 0),
+      (-9223372036854775808L, -2147483648),
+      (4607182418800017408L, 1065353216),
+      (-4616189618054758400L, -1082130432),
+      (4603241769126068224L, 1058013184),
+      (4607184617957490688L, 1065361408), // 1.0004883110523224 -> 1.0009765625
+      (4607184617823272960L, 1065353216), // 1.00048828125 (tie) -> 1.0
+      (4607189015869784064L, 1065369600), // 1.00146484375 (tie) -> 1.001953125
+      (4679235614791434240L, 1199562752), // 65504.0
+      (4679237813814689792L, 2139095040), // 65520.0 (tie) -> inf
+      (4679237813814552353L, 1199562752), // 65519.999999 -> 65504.0 (NOT inf)
+      (-4544134223040086016L, -8388608),  // -65520.0 -> -inf
+      (4544132024016830464L, 947912704),  // 2^-14 (normal/subnormal boundary)
+      (4544134223044280320L, 947920896),
+      (4499096027743125504L, 864026624),  // 2^-24 (min subnormal)
+      (4494592428115755008L, 0),          // 2^-25 (underflow tie) -> 0
+      (4494592428566114971L, 864026624),  // just above 2^-25 -> 2^-24
+      (4490088828488384512L, 0),          // 2^-26 -> 0
+      (4544126835870059733L, 947896320),
+      (4499125899939309867L, 864026624),
+      (9214871658872686752L, 2139095040), // 1e308 -> inf
+      (9218868437227405312L, 2139095040), // inf
+      (-4503599627370496L, -8388608),     // -inf
+      (4603241770414558413L, 1058013184),
+      (4591870180066957722L, 1036828672), // 0.1
+      (4599676419421066581L, 1051369472), // 1/3
+      (4636739490377891840L, 1120403456), // 100.03125 -> 100.0
+      (4606880259111704445L, 1064787968),
+      (4601611152595570514L, 1054973952),
+      (4575287099085346432L, 1005944832),
+      (4606380561555335125L, 1063862272),
+      (4606635402558332630L, 1064337408),
+      (4603419459307422639L, 1058340864),
+      (4604224125635246261L, 1059840000),
+      (4590712807336855032L, 1034674176),
+      (4605079066031891864L, 1061437440),
+      (4597699991619199648L, 1047691264),
+      (-4544121713555566772L, -8388608),  // -65686.03... -> -inf
+      (4675789220389955234L, 1193140224),
+      (-4551719878880027122L, -962043904),
+      (4670473443491156844L, 1183244288),
+      (4670139463569640304L, 1182621696),
+      (-4546376903699378390L, -952090624),
+    )
+    goldens.foreach { case (db, fb) =>
+      val d = java.lang.Double.longBitsToDouble(db)
+      val got = java.lang.Float.floatToRawIntBits(Float16.quantize(d))
+      assert(got == fb,
+        s"quantize($d): got bits $got, numpy bits $fb " +
+          s"(${java.lang.Float.intBitsToFloat(got)} vs ${java.lang.Float.intBitsToFloat(fb)})")
+    }
     assert(Float16.quantize(1e-8f) == 0.0f) // underflow
     assert(Float16.quantize(6.1e-5f) == 6.097555160522461e-5f) // subnormal (checked vs numpy)
   }
