@@ -90,15 +90,21 @@ object StreamingExtract {
     * event-time column is not part of the key, so state would grow with
     * every url ever seen.
     *
-    * CORRECTNESS/STATE TRADE-OFF the caller must size: the watermark
-    * does not only bound dedup state, it also DROPS any row whose
-    * warc_ts is older than (max seen warc_ts - delay) — including unique
-    * rows. That is inherent to bounded-state streaming dedup, but it
-    * means a multi-micro-batch BACKFILL whose files are not ordered by
-    * event time can silently lose late uniques relative to the batch
-    * pipeline. Size `delay` to cover the ingest's event-time disorder
-    * (live crawl feeds: the crawl-to-land lag; unordered backfills: the
-    * full warc_ts span, or dedup in batch instead). */
+    * CORRECTNESS/STATE TRADE-OFF the caller must size — `delay` bounds
+    * BOTH guarantees, in both directions (pinned empirically by
+    * StreamingSpec across ingestion runs):
+    *   - completeness: a row whose warc_ts is older than the watermark
+    *     in effect at its micro-batch is DROPPED even when unique
+    *     (numRowsDroppedByWatermark) — an unordered backfill with
+    *     event-time disorder wider than `delay` silently loses late
+    *     uniques relative to the batch pipeline;
+    *   - dedup: a duplicate url re-arriving after the watermark passed
+    *     its first occurrence's expiry (first warc_ts + delay) finds
+    *     its state evicted and is emitted AGAIN.
+    * Size `delay` to cover the ingest's event-time disorder AND the
+    * largest re-crawl gap that must stay suppressed (state grows
+    * proportionally); exact global dedup belongs to the batch path
+    * (q13/q25). */
   def dedupStream(
       pages: Dataset[PageRecord],
       delay: String = "1 hour"): Dataset[PageRecord] =

@@ -63,6 +63,17 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(after == before)
   }
 
+  test("q40 streaming rollup deduplicates the planted duplicate pages") {
+    // q40 writes every page TWICE; the watermarked dedup must halve it,
+    // and the rollup totals are the sbt-side pin for the rows-only
+    // driver check
+    val rows = run("q40_stream_extract").collect()
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs == 200, s"expected 200 unique docs after dedup, got $totalDocs")
+    assert(rows.map(_.getAs[Long]("n_ok")).sum == 200)
+    assert(rows.map(_.getAs[String]("kind")).toSet == Set("html", "pdf"))
+  }
+
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Queries.all.count(_.oracle.isDefined)
     // 40 queries, 36 oracled; q17/q19/q27/q40 are the genuinely non-SQL
