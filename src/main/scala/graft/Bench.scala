@@ -44,16 +44,10 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Timed leg: read the materialized pages table, parse+score, count. */
-  private def extractLeg(spark: SparkSession, pagesPath: String, tasks: Int): Long = {
-    import spark.implicits._
-    val pages = spark.read.parquet(pagesPath).as[graft.model.PageRecord]
-    ExtractPipeline.extractAndScore(
-      pages, numPartitions = tasks,
-      CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet)
-      .mapPartitions(it => Iterator.single(it.count(_.ok).toLong))
-      .reduce(_ + _)
-  }
+  /** Timed leg: read the materialized pages table, parse+score, count —
+    * the ONE shared body every harness JVM times (BenchCommon). */
+  private def extractLeg(spark: SparkSession, pagesPath: String, tasks: Int): Long =
+    BenchCommon.countOk(spark, pagesPath, tasks)
 
   def main(args: Array[String]): Unit = {
     // bench times the operators, not verification: skip the oracle
@@ -97,6 +91,14 @@ object Bench {
     // materialize the corpus once (untimed — input I/O setup, the stand-in
     // for the pre-existing Iceberg pages table)
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench_pages")
+    // repeated canonical runs would otherwise leak ~150+ MB of parquet
+    // into /tmp per run until the disk fills
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(tmp.toFile)
+    }
     val pagesPath = tmp.resolve("pages").toString
     val warmPath = tmp.resolve("warm").toString
     ExtractPipeline.pages(spark, nDocs, cpus * 4)
@@ -192,9 +194,13 @@ object Bench {
         ("parent_fallback", runs.map(_._1), runs.map(_._2), runs.map(_._3),
           runs.map(_._4), runs.map(_._5))
       }
-    val tHiAtCpus = headlineRuns.sorted.apply(headlineRuns.length / 2)
-    // task skew of the SAME run the published time describes
-    val medianIdxH = headlineRuns.indexOf(tHiAtCpus)
+    // median by (time, index) pairing: plain indexOf(median) picks the
+    // FIRST run with that wall time, which can be a different run than
+    // the median position when two runs tie at 3 decimals — and then the
+    // published task skew would describe the wrong run
+    val medianIdxH = headlineRuns.zipWithIndex.sortBy(_._1)
+      .apply(headlineRuns.length / 2)._2
+    val tHiAtCpus = headlineRuns(medianIdxH)
     val medianTaskMs = headlineTaskMed.lift(medianIdxH).getOrElse(0L)
     val maxTaskMs = headlineTaskMax.lift(medianIdxH).getOrElse(0L)
 
@@ -222,10 +228,7 @@ object Bench {
         parts: Int): (Double, Long, Long) = {
       listener.clear()
       val sec = timeSec {
-        ExtractPipeline.extractAndScore(prepared, numPartitions = parts,
-          CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet)
-          .mapPartitions(it => Iterator.single(it.count(_.ok).toLong))
-          .reduce(_ + _): Unit
+        BenchCommon.countOk(prepared, parts): Unit
       }
       Thread.sleep(300)
       val (med, max) = listener.skew

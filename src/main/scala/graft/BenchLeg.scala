@@ -32,14 +32,9 @@ object BenchLeg {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    def leg(path: String): Long = {
-      val pages = spark.read.parquet(path).as[graft.model.PageRecord]
-      ExtractPipeline.extractAndScore(pages, 0,
-          CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet)
-        .mapPartitions(it => Iterator.single(it.count(_.ok).toLong))
-        .reduce(_ + _)
-    }
+    // ONE shared leg body with the parent's diagnostic/skew legs —
+    // parent-vs-child must compare the identical computation
+    def leg(path: String): Long = BenchCommon.countOk(spark, path, 0)
     val listener = new TaskTimeListener
     if (rich) spark.sparkContext.addSparkListener(listener)
     leg(warmPath); leg(pagesPath) // JIT warm

@@ -121,11 +121,22 @@ object ScaleBench {
     Suite.foreach(n => Queries.all.find(_.name == n).get.fn(spark, s"$root/warm").count())
 
     def f(x: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, x)
+    // per-query failure isolation: a query blowing up at a scale tier is
+    // the exact event this harness exists to CATCH — it must surface as
+    // a failed entry in the JSON evidence, not abort the run and discard
+    // every already-measured tier (Bench's failed_queries discipline)
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val times = scales.map { case (tag, _, _, suite) =>
       tag -> suite.map { name =>
         val fn = Queries.all.find(_.name == name).get.fn
         val t0 = System.nanoTime()
-        val rows = fn(spark, s"$root/$tag").count()
+        val rows =
+          try fn(spark, s"$root/$tag").count()
+          catch { case e: Throwable =>
+            failed += s"$tag:$name"
+            System.err.println(s"[scale] $tag $name failed: ${e.getMessage}")
+            -1L
+          }
         val sec = (System.nanoTime() - t0) / 1e9
         (name, sec, rows)
       }
@@ -142,7 +153,12 @@ object ScaleBench {
         .map(t => s""""${t._1}":${f(t._2 / math.max(x1(t._1), 1e-9))}""").mkString(",")
       val ratios30 = times("x30")
         .map(t => s""""${t._1}":${f(t._2 / math.max(x1(t._1), 1e-9))}""").mkString(",")
-      s"""{"metric":"scale_evidence_10x","docs":[5000,50000,150000],"vecs":[2000,20000,60000],$per,$rows,"ratio_x10_over_x1":{$ratios},"ratio_x30_over_x1":{$ratios30}}"""
+      // header arrays derived from `scales` — hardcoded copies would
+      // silently lie about the data sizes if a tier is retuned
+      val docsArr = scales.map(_._2).mkString("[", ",", "]")
+      val vecsArr = scales.map(_._3).mkString("[", ",", "]")
+      val failedArr = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+      s"""{"metric":"scale_evidence_10x","docs":$docsArr,"vecs":$vecsArr,"failed_queries":$failedArr,$per,$rows,"ratio_x10_over_x1":{$ratios},"ratio_x30_over_x1":{$ratios30}}"""
     }
     println(line)
     scala.util.Try(java.nio.file.Files.writeString(

@@ -42,6 +42,32 @@ private[graft] object GcClock {
   }
 }
 
+/** THE timed leg computation, shared by every harness JVM — the parent
+  * diagnostic run, the pinned BenchLeg children, and the skew legs all
+  * call this ONE body, so parent-vs-child and skew-vs-headline numbers
+  * are comparisons of the identical computation by construction (three
+  * hand-copied versions invited silent methodology drift). */
+private[graft] object BenchCommon {
+  import org.apache.spark.sql.{Dataset, SparkSession}
+  import graft.model.PageRecord
+
+  /** Parse+score `pages` and count ok docs (the headline unit of work). */
+  def countOk(pages: Dataset[PageRecord], numPartitions: Int): Long = {
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    graft.pipeline.ExtractPipeline.extractAndScore(pages, numPartitions,
+        graft.corpus.CorpusGen.TargetWords.toSet,
+        graft.corpus.CorpusGen.BycatchWords.toSet)
+      .mapPartitions(it => Iterator.single(it.count(_.ok).toLong))
+      .reduce(_ + _)
+  }
+
+  def countOk(spark: SparkSession, path: String, numPartitions: Int): Long = {
+    import spark.implicits._
+    countOk(spark.read.parquet(path).as[PageRecord], numPartitions)
+  }
+}
+
 /** Process CPU time in ms (com.sun OperatingSystemMXBean; -1 when the
   * bean is unavailable). A slow run's cpu/wall ratio CLASSIFIES it:
   * ratio near the core count means the JVM did more work (GC, codegen,

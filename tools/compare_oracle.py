@@ -10,15 +10,25 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem','ev
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 def canon(df):
     df = df[sorted(df.columns)]
-    # normalize timestamps to ns, floats to repr
+    # normalize timestamps to us precision and numeric dtypes WITHIN kind
+    # (int32 vs int64, float32 vs float64 — exact widenings only, so the
+    # compare stays value-strict): pd.DataFrame.equals is dtype-strict,
+    # and the Spark parquet dump and DuckDB .df() legitimately disagree
+    # on width while agreeing on values. Cross-kind (int vs float) stays
+    # a mismatch on purpose, and ints are NOT cast to float (int64 hash
+    # values exceed 2^53 — a float cast would silently pass unequal
+    # values).
     for c in df.columns:
         if str(df[c].dtype).startswith('datetime'):
             df[c] = pd.to_datetime(df[c]).astype('datetime64[us]')
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
-        else:
-            try: df[c] = pd.to_numeric(df[c])
-            except Exception: pass
+        elif df[c].dtype.kind == 'i':
+            df[c] = df[c].astype('int64')
+        elif df[c].dtype.kind == 'u':
+            df[c] = df[c].astype('uint64')
+        elif df[c].dtype.kind == 'f':
+            df[c] = df[c].astype('float64')
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 fails = []
@@ -34,6 +44,14 @@ for name, sql in sorted(oracle.items()):
             continue
         eq = want.equals(got)
         if not eq:
+            dtypes_w = {c: str(want[c].dtype) for c in want.columns}
+            dtypes_g = {c: str(got[c].dtype) for c in got.columns}
+            if dtypes_w != dtypes_g:
+                # dtype-only mismatch after canon = cross-kind disagreement
+                # (e.g. int column vs float column) — report it as such
+                # instead of the nonsense "values differ in 0 rows"
+                fails.append((name, f"dtypes differ: want={dtypes_w} got={dtypes_g}"))
+                continue
             diff = (want != got)
             bad = diff.any(axis=1)
             fails.append((name, f"values differ in {bad.sum()} rows; first:\nwant\n{want[bad].head(3)}\ngot\n{got[bad].head(3)}"))
@@ -44,3 +62,5 @@ for name, sql in sorted(oracle.items()):
 for name, msg in fails:
     print(f"FAIL {name}: {msg}")
 print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracle queries match")
+# exit-code-gated automation must see failures as failures
+sys.exit(1 if fails else 0)
