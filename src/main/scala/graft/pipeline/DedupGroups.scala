@@ -64,6 +64,15 @@ object DedupGroups {
       i += 1
     }
     edges.unpersist()
+    // fail-loud on an exhausted hop budget (the file's q15/q16/q26 guard
+    // convention): the final probe at i == maxIters - 1 already measured
+    // whether labels moved — returning unconverged labels would silently
+    // SPLIT a deep component (e.g. a mirror-farm chain beyond 2^maxIters)
+    // into several keep/drop groups, corrupting the dedup decision
+    require(converged,
+      s"connectedComponents did not converge within $maxIters hops — a " +
+        "component's diameter exceeds the hop budget (with path halving, " +
+        s"depth > ~2^$maxIters); raise maxIters for this graph")
     labels
   }
 

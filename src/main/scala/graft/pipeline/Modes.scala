@@ -95,6 +95,15 @@ object Modes {
         text.length.toLong, ok = text.nonEmpty, error = ""),
       target, bycatch)
 
+  /** The csv_lookup ingest shared by the four csv modes — the
+    * reference's serialize_from_csv (serials.py:26-43) is fillna (inside
+    * csvColumn) PLUS clean_any_nested_columns: a dict-literal cell like
+    * `"{'doi': '10.5555/x', ...}"` yields its doi value. Without the
+    * cleanup those rows would silently miss every snapshot join the
+    * reference hits. */
+  private def doiColumn(spark: SparkSession, csvPath: String) =
+    Stagers.cleanDictColumn(Sources.csvColumn(spark, csvPath, "doi"), "doi", "doi")
+
   /** `-m directory` (factories.py:96 — pdf_lookup + pdf_expanded):
     * recursive PDF scan → per-doc extract + DOI cascade + score →
     * Dimensions lookup on the extracted doi → cleanup. */
@@ -129,7 +138,7 @@ object Modes {
       bycatchWords: Set[String]): DataFrame = {
     import spark.implicits._
     val enriched = Enrichment.enrich(
-        Sources.csvColumn(spark, csvPath, "doi"), dimensions)
+        doiColumn(spark, csvPath), dimensions)
       .join(broadcast(abstracts), Seq("internal_id"), "left")
       .select(
         col("doi"), col("journal_title"), col("internal_id"),
@@ -157,7 +166,7 @@ object Modes {
       spark: SparkSession,
       csvPath: String,
       citationsSnapshot: DataFrame): DataFrame = {
-    val fetched = Sources.csvColumn(spark, csvPath, "doi")
+    val fetched = doiColumn(spark, csvPath)
       .join(broadcast(citationsSnapshot), Seq("doi"), "left")
     finish(Stagers.explodeWithSource(fetched, "title", "citation_spans"))
   }
@@ -175,15 +184,17 @@ object Modes {
       today: java.time.LocalDate): DataFrame = {
     import spark.implicits._
     val prefix = today.format(java.time.format.DateTimeFormatter.ofPattern("yyMMdd"))
-    Sources.csvColumn(spark, csvPath, "doi")
+    doiColumn(spark, csvPath)
       .as[String]
       .map { doi =>
-        // never-throw row contract (same as Extractor.extract): a failing
-        // page fetch or parse is a FAILED receipt, not a dead task — the
-        // reference's None-on-error path (downloaders.py:137-182)
+        // never-throw row contract (same as Extractor.extract, incl. its
+        // StackOverflowError case — pageForDoi is the online fetch seam,
+        // so an adversarial deeply-nested page must become a failed
+        // receipt, not a dead task): the reference's None-on-error path
+        // (downloaders.py:137-182)
         val link =
           try Downloads.resolveButton(pageForDoi(doi), baseUrl)._2
-          catch { case _: Exception => "" }
+          catch { case _ @ (_: Exception | _: StackOverflowError) => "" }
         DownloadReceipt(
           downloader = "graft.BulkDownloader",
           url = link,
@@ -208,7 +219,7 @@ object Modes {
       today: java.time.LocalDate): DataFrame = {
     import spark.implicits._
     val prefix = today.format(java.time.format.DateTimeFormatter.ofPattern("yyMMdd"))
-    Sources.csvColumn(spark, csvPath, "doi")
+    doiColumn(spark, csvPath)
       .join(broadcast(figuresSnapshot), Seq("doi"), "left")
       .select(col("doi"), explode_outer(col("figures")).as("img_url"))
       .as[(String, Option[String])]

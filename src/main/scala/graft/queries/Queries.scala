@@ -155,6 +155,18 @@ object Queries {
       _ => t(s, dir, "embeddings").agg(max("vec_id")).head().getLong(0)).longValue()
   }
 
+  /** embeddings row count for q16's brute-force guard — memoized per
+    * (session, dir) under the SAME contract as VecGuard (a bench sweep
+    * must not pay a count() job per repetition; the table is assumed
+    * immutable within a session). */
+  private val RowGuard =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+  private def embeddingsCount(s: SparkSession, dir: String): Long = {
+    if (RowGuard.size > 64) RowGuard.clear()
+    RowGuard.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => t(s, dir, "embeddings").count()).longValue()
+  }
+
   private object SwapCache {
     private var last: Map[String, List[DataFrame]] = Map.empty
     def swap(key: String)(dfs: DataFrame*): Unit = synchronized {
@@ -621,7 +633,7 @@ object Queries {
   private val q16 = Q(
     "q16_ann_topk",
     (s, dir) => {
-      q16Guard(t(s, dir, "embeddings").count())
+      q16Guard(embeddingsCount(s, dir))
       val qq = t(s, dir, "embeddings")
         .selectExpr(
           "vec_id",
@@ -1343,6 +1355,13 @@ object Queries {
         s"named_struct('negc', -(CAST(dot_i64(qv, $lits) AS DOUBLE) / " +
           s"(sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(${cnrm}L AS DOUBLE)))), 'cid', ${cid}L)"
       }.mkString(", ")
+      // assign is deliberately NOT persisted although two consumers read
+      // it: the probes side carries vec_id < 100, which Catalyst pushes
+      // below the projection into the scan, so the expensive top2
+      // evaluation reruns for only ~100 rows — while a persist would
+      // materialize the corpus-wide (qv, nrm, top2) columns (and trip the
+      // QueriesSpec no-InMemoryTableScan plan guard that pins the r2
+      // assignment-blow-up fix)
       val assign = qq.selectExpr("vec_id", "qv", "nrm",
         s"slice(array_sort(array($cellStructs)), 1, 2) AS top2")
       val cells = assign
@@ -1623,22 +1642,35 @@ object Queries {
     "q40_stream_extract",
     (s, _) => {
       val base = java.nio.file.Files.createTempDirectory("graft_q40")
-      val inDir = base.resolve("in").toString
-      val pages = ExtractPipeline.pages(s, 200, 8)
-      pages.write.mode("append").parquet(inDir)
-      pages.write.mode("append").parquet(inDir) // planted exact duplicates
-      val q = graft.streaming.StreamingExtract.run(s, inDir,
-        base.resolve("out").toString, base.resolve("ck").toString,
-        CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet,
-        availableNow = true, dedup = true)
-      q.awaitTermination()
-      s.read.parquet(base.resolve("out").toString)
-        .groupBy("kind")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(expr("CAST(total_word_count AS BIGINT)")).as("n_tokens"),
-          sum(expr("CAST(ok AS INT)")).as("n_ok"))
-        .orderBy("kind")
+      try {
+        val inDir = base.resolve("in").toString
+        val pages = ExtractPipeline.pages(s, 200, 8)
+        pages.write.mode("append").parquet(inDir)
+        pages.write.mode("append").parquet(inDir) // planted exact duplicates
+        val q = graft.streaming.StreamingExtract.run(s, inDir,
+          base.resolve("out").toString, base.resolve("ck").toString,
+          CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet,
+          availableNow = true, dedup = true)
+        q.awaitTermination()
+        val rollup = s.read.parquet(base.resolve("out").toString)
+          .groupBy("kind")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(expr("CAST(total_word_count AS BIGINT)")).as("n_tokens"),
+            sum(expr("CAST(ok AS INT)")).as("n_ok"))
+          .orderBy("kind")
+        // the rollup is a handful of rows — pull it local so the temp
+        // corpus/checkpoint/sink can be deleted eagerly (q19's
+        // repeated-sweeps-must-not-leak-disk discipline)
+        val schema = rollup.schema
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rollup.collect().toSeq.asJava, schema)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(base.toFile)
+      }
     },
     None)
 

@@ -88,6 +88,24 @@ class ModesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("10.5555/nope").getAs[String]("journal_title") == "N/A")
   }
 
+  test("csv modes clean dict-literal doi cells before the lookup (serialize_from_csv parity)") {
+    // the reference's serialize_from_csv is fillna + clean_any_nested_
+    // columns: a cell like "{'doi': '10.5555/d0', ...}" must join the
+    // snapshot as 10.5555/d0, not silently miss as a raw literal
+    val path = tmpFile("dois.csv",
+      "doi\n\"{'doi': '10.5555/d0', 'title': 'T'}\"\n10.5555/nope\n")
+    val out = Modes.wordscore(spark, path,
+      Enrichment.dimSnap(spark, "/root/testdata/sf0.001"),
+      Enrichment.abstractSnap(spark, "/root/testdata/sf0.001"),
+      Set("abstract", "body"), Set.empty)
+    val rows = out.collect().map(r => r.getAs[String]("doi") -> r).toMap
+    assert(rows.contains("10.5555/d0"),
+      s"dict-literal doi cell not cleaned before the join: ${rows.keySet}")
+    assert(rows("10.5555/d0").getAs[String]("journal_title") != "N/A",
+      "cleaned doi should HIT the Dimensions snapshot")
+    assert(rows("10.5555/nope").getAs[String]("journal_title") == "N/A")
+  }
+
   test("citations mode: explode cited works carrying the source title") {
     import spark.implicits._
     val snap = Seq(
