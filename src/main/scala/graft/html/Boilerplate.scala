@@ -107,9 +107,7 @@ object Boilerplate {
     val doi = doiMetaContent.flatMap(Identifiers.extract)
       .orElse(Option(firstDoiMarker).flatMap(e => Identifiers.extract(contentText(e))))
       .orElse(Identifiers.extract(mainText))
-    val citeList = cites.toList
-    val citations = citeList
-      .filter(e => !citeList.exists(o => (o ne e) && isAncestor(e, o)))
+    val citations = leafMost(cites.toList)
       .map(contentText).filter(_.nonEmpty)
 
     Extraction(
@@ -301,13 +299,26 @@ object Boilerplate {
       e.tag == "cite" || MarkerSplit.split(marker).exists(w => w == "ref" || w == "citation" || w == "reference")
     }.toList
     // keep only leaf-most citation nodes (avoid container duplication)
-    viaClass.filter(e => !viaClass.exists(o => (o ne e) && isAncestor(e, o)))
-      .map(contentText).filter(_.nonEmpty)
+    leafMost(viaClass).map(contentText).filter(_.nonEmpty)
   }
 
-  private def isAncestor(anc: HElem, node: HElem): Boolean = {
-    var p = node.parent
-    while (p != null) { if (p eq anc) return true; p = p.parent }
-    false
+  /** Drop candidates that are ancestors of other candidates, in
+    * O(candidates x depth): each candidate walks its parent chain ONCE
+    * and marks any candidate-ancestor it meets. The previous all-pairs
+    * isAncestor filter was O(c^2 x depth) — ~4M chain walks for one
+    * citation-dense 2000-candidate references page, on the per-page hot
+    * path. Identity sets on purpose: distinct DOM nodes can be
+    * structurally equal. */
+  private def leafMost(candidates: List[HElem]): List[HElem] = {
+    val inSet = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[HElem, java.lang.Boolean]())
+    candidates.foreach(inSet.add)
+    val drop = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[HElem, java.lang.Boolean]())
+    candidates.foreach { e =>
+      var p = e.parent
+      while (p != null) { if (inSet.contains(p)) { drop.add(p): Unit }; p = p.parent }
+    }
+    candidates.filterNot(drop.contains)
   }
 }

@@ -477,7 +477,15 @@ object Entities {
   private def numericRef(cp: Int): Array[Char] =
     C1Map.get(cp) match {
       case Some(ch) => Array(ch)
-      case None     => Character.toChars(cp)
+      // HTML5 numeric-charref error cases -> U+FFFD: NUL, surrogate code
+      // points and out-of-range values. Character.toChars(0xD800) would
+      // emit a LONE UTF-16 surrogate — malformed UTF-16 that downstream
+      // encoders (parquet write, UTF-8 hashing) each mangle their own
+      // way, making fingerprints/dedup keys for the same logical text
+      // writer-dependent.
+      case None if cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF =>
+        Array('�')
+      case None => Character.toChars(cp)
     }
 
   def decode(s: String): String = {

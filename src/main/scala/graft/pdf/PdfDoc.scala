@@ -15,17 +15,31 @@ final class PdfDoc(data: Array[Byte]) {
   // (each was allocating its own 2x-size char[] per document)
   private val dataStr = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
 
-  val objects: Map[(Int, Int), PObj] = {
+  /** All objects in FILE ORDER (top-level scan order, then ObjStm
+    * contents), unique ids. Two deliberate semantics here:
+    *   - fallback scans ("first/last object that looks like X") iterate
+    *     THIS vector — a plain Map.values iterates hash-ordered, which
+    *     made damaged-file page order and multi-revision trailer/info
+    *     picks nondeterministic;
+    *   - a TOP-LEVEL object wins an id conflict with an ObjStm-contained
+    *     copy: an incremental update appends a plain `N G obj` revision
+    *     that supersedes the compressed original, so the ObjStm copy is
+    *     the stale one. */
+  val objectsOrdered: Vector[((Int, Int), PObj)] = {
     val top = scanObjects()
-    top ++ expandObjectStreams(top)
+    val topMap = top.toMap
+    top ++ expandObjectStreams(top, topMap).filterNot { case (id, _) => topMap.contains(id) }
   }
+  val objects: Map[(Int, Int), PObj] = objectsOrdered.toMap
   private val trailerDict: Option[PDict] = findTrailer()
 
   /** Objects stored inside /Type /ObjStm compressed streams (PDF 1.5+,
     * ISO 32000-1 §7.5.7): header is N pairs "objnum offset", bodies start
     * at /First. Needed for real-world fixtures like
     * /root/reference/tests/test_dirs/test_pdf_1.pdf. */
-  private def expandObjectStreams(top: Map[(Int, Int), PObj]): Map[(Int, Int), PObj] = {
+  private def expandObjectStreams(
+      topOrdered: Vector[((Int, Int), PObj)],
+      top: Map[(Int, Int), PObj]): Vector[((Int, Int), PObj)] = {
     // this runs INSIDE the `objects` initializer, so resolution must go
     // through `top`, never this.objects (still null here) — /Filter, /N
     // and /First are all legal as indirect references
@@ -36,7 +50,7 @@ final class PdfDoc(data: Array[Byte]) {
       case other => other
     }
     val out = mutable.LinkedHashMap.empty[(Int, Int), PObj]
-    top.values.foreach {
+    topOrdered.map(_._2).foreach {
       case st @ PStream(dict, _) if dict.get("Type").contains(PName("ObjStm")) =>
         try {
           val bytes = decodeStreamUsing(st, resolveTop(_))
@@ -57,10 +71,10 @@ final class PdfDoc(data: Array[Byte]) {
         } catch { case _: Exception => () }
       case _ => ()
     }
-    out.toMap
+    out.toVector
   }
 
-  private def scanObjects(): Map[(Int, Int), PObj] = {
+  private def scanObjects(): Vector[((Int, Int), PObj)] = {
     val out = mutable.LinkedHashMap.empty[(Int, Int), PObj]
     val s = dataStr
     val objPat = java.util.regex.Pattern.compile("(?m)(\\d+)\\s+(\\d+)\\s+obj\\b")
@@ -114,7 +128,7 @@ final class PdfDoc(data: Array[Byte]) {
         out.update((num, gen), obj)
       } catch { case _: Exception => () } // tolerate junk between objects
     }
-    out.toMap
+    out.toVector
   }
 
   private def findTrailer(): Option[PDict] = {
@@ -126,8 +140,10 @@ final class PdfDoc(data: Array[Byte]) {
         return Some(lexer.parseObj().asInstanceOf[PDict])
       } catch { case _: Exception => idx = s.lastIndexOf("trailer", idx - 1) }
     }
-    // PDF 1.5+ cross-reference STREAM doubles as the trailer dict
-    objects.values.collectFirst {
+    // PDF 1.5+ cross-reference STREAM doubles as the trailer dict; with
+    // incremental updates several XRef streams exist and the LAST in file
+    // order is the newest revision (its /Root //Info supersede earlier ones)
+    objectsOrdered.reverseIterator.map(_._2).collectFirst {
       case PStream(d, _) if d.get("Type").contains(PName("XRef")) => d
     }
   }
@@ -163,8 +179,8 @@ final class PdfDoc(data: Array[Byte]) {
         .exists(k => d.get(k).isDefined)
     val infoDict = trailerDict.flatMap(_.get("Info")).flatMap(resolveDict)
       .orElse {
-        // fallback: any object that looks like an info dict
-        objects.values.collectFirst {
+        // fallback: FIRST file-order object that looks like an info dict
+        objectsOrdered.iterator.map(_._2).collectFirst {
           case d: PDict if (d.get("Producer").isDefined || d.get("Title").isDefined) &&
               !looksLikeOutline(d) => d
         }
@@ -192,7 +208,7 @@ final class PdfDoc(data: Array[Byte]) {
 
   def pages: List[Page] = {
     val catalog = trailerDict.flatMap(_.get("Root")).flatMap(resolveDict)
-      .orElse(objects.values.collectFirst {
+      .orElse(objectsOrdered.iterator.map(_._2).collectFirst {
         case d: PDict if d.get("Type").contains(PName("Catalog")) => d
       })
     val rootPages = catalog.flatMap(_.get("Pages")).flatMap(resolveDict)
@@ -222,8 +238,9 @@ final class PdfDoc(data: Array[Byte]) {
     }
     rootPages.foreach(walk(_, None, None, 0))
     if (out.isEmpty) {
-      // fallback: collect raw Page objects in file order
-      objects.values.foreach {
+      // fallback: collect raw Page objects in file order (objectsOrdered
+      // IS file order; a hash map's values are not)
+      objectsOrdered.iterator.map(_._2).foreach {
         case d: PDict if d.get("Type").contains(PName("Page")) =>
           walk(d, None, None, 0)
         case _ => ()

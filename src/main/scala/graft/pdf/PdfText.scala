@@ -200,19 +200,22 @@ object PdfText {
   /** pdfplumber-shaped extract_text over positioned chars. */
   def assemble(chars: List[PChar], xTol: Double = 1.0, yTol: Double = 3.0): String = {
     if (chars.isEmpty) return ""
-    // group into lines by top-down y with tolerance (cluster anchored at
-    // the first char of each line, in stream order like pdfplumber's
-    // doctop clustering)
+    // group into lines by top-down y with tolerance, CHAINED off the
+    // previous char like pdfplumber's cluster_objects/cluster_list (a new
+    // cluster starts when the gap from the PREVIOUS sorted value exceeds
+    // the tolerance — anchoring at the line's first char instead would
+    // split a drifting baseline, e.g. y = 100/102.5/105 with yTol 3, that
+    // pdfplumber chains into one line)
     val sorted = chars.sortBy(c => (c.y, c.x0))
     val lines = mutable.ListBuffer.empty[mutable.ListBuffer[PChar]]
     var curLine: mutable.ListBuffer[PChar] = null
-    var lineY = Double.NaN
+    var prevY = Double.NaN
     sorted.foreach { ch =>
-      if (curLine == null || math.abs(ch.y - lineY) > yTol) {
+      if (curLine == null || ch.y - prevY > yTol) {
         curLine = mutable.ListBuffer(ch)
         lines += curLine
-        lineY = ch.y
       } else curLine += ch
+      prevY = ch.y
     }
     val lineTexts = lines.map { line =>
       val ordered = line.sortBy(_.x0)

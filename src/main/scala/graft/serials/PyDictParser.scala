@@ -19,6 +19,9 @@ object PyDictParser {
   final case class PyBool(v: Boolean) extends PyVal
   case object PyNone extends PyVal
   final case class PyList(v: List[PyVal]) extends PyVal
+  /** Parenthesized literals keep tuple identity: str() renders them with
+    * parens (and the singleton trailing comma), not brackets. */
+  final case class PyTuple(v: List[PyVal]) extends PyVal
   /** Entries kept in INSERTION order (Python dicts are ordered; a Map
     * would hash-scramble str() output for dicts with >4 keys). Duplicate
     * keys keep the first position with the last value, like Python. */
@@ -60,11 +63,18 @@ object PyDictParser {
     case PyFloat(d) =>
       if (d.isNaN) "nan"
       else if (d.isInfinity) { if (d > 0) "inf" else "-inf" }
-      else if (d == math.floor(d) && math.abs(d) < 1e16) s"${d.toLong}.0"
+      else if (d == math.floor(d) && math.abs(d) < 1e16)
+        // str(-0.0) keeps the sign; d.toLong alone would drop it
+        (if (d == 0.0 && 1.0 / d < 0) "-" else "") + s"${d.toLong}.0"
       else pyFloatStr(d)
     case PyBool(b)  => if (b) "True" else "False"
     case PyNone     => "None"
     case PyList(xs) => xs.map(repr).mkString("[", ", ", "]")
+    case PyTuple(xs) => xs match {
+      case Nil        => "()"
+      case one :: Nil => s"(${repr(one)},)" // Python singleton-tuple comma
+      case _          => xs.map(repr).mkString("(", ", ", ")")
+    }
     case PyDict(m)  => m.map { case (k, x) => s"${pyRepr(k)}: ${repr(x)}" }.mkString("{", ", ", "}")
   }
 
@@ -73,24 +83,50 @@ object PyDictParser {
     case other    => render(other)
   }
 
+  /** Python's str.isprintable per code point: everything except the
+    * Other (C*) and Separator (Z*) categories, with ' ' itself printable.
+    * repr escapes the non-printable ones (\xXX / \uXXXX / \UXXXXXXXX) —
+    * C1 controls, NBSP, U+2028 and friends are common in HTML-sourced
+    * bibliographic strings, and CPython escapes them all. (Java's Unicode
+    * tables may trail CPython's by a version for newly-assigned code
+    * points; the bibliographic character ranges are stable.) */
+  private def pyPrintable(cp: Int): Boolean =
+    cp == ' ' || (Character.getType(cp) match {
+      case Character.CONTROL | Character.FORMAT | Character.SURROGATE |
+           Character.PRIVATE_USE | Character.UNASSIGNED |
+           Character.LINE_SEPARATOR | Character.PARAGRAPH_SEPARATOR |
+           Character.SPACE_SEPARATOR => false
+      case _ => true
+    })
+
   /** CPython repr of a str: single quotes unless the string contains a
     * single quote and no double quote (then double quotes, apostrophes
-    * unescaped); backslash, the chosen quote, \n \r \t, and other
-    * C0/0x7f control chars escape; printable non-ASCII stays raw. */
+    * unescaped); backslash, the chosen quote and \n \r \t escape by name;
+    * all other NON-PRINTABLE code points (C0/C1 controls, format chars,
+    * separators, surrogates...) escape as \xXX/\uXXXX/\UXXXXXXXX;
+    * printable non-ASCII stays raw. */
   private def pyRepr(s: String): String = {
     val hasSingle = s.indexOf('\'') >= 0
     val hasDouble = s.indexOf('"') >= 0
     val q = if (hasSingle && !hasDouble) '"' else '\''
     val sb = new StringBuilder(s.length + 2)
     sb += q
-    s.foreach {
-      case '\\'            => sb.append("\\\\")
-      case c if c == q     => sb += '\\' += q
-      case '\n'            => sb.append("\\n")
-      case '\r'            => sb.append("\\r")
-      case '\t'            => sb.append("\\t")
-      case c if c < 0x20 || c == 0x7f => sb.append(f"\\x${c.toInt}%02x")
-      case c               => sb += c
+    var idx = 0
+    while (idx < s.length) {
+      val cp = s.codePointAt(idx)
+      cp match {
+        case '\\'        => sb.append("\\\\")
+        case c if c == q => sb += '\\' += q
+        case '\n'        => sb.append("\\n")
+        case '\r'        => sb.append("\\r")
+        case '\t'        => sb.append("\\t")
+        case c if !pyPrintable(c) =>
+          if (c < 0x100) sb.append(f"\\x$c%02x")
+          else if (c < 0x10000) sb.append(f"\\u$c%04x")
+          else sb.append(f"\\U$c%08x")
+        case c => sb.appendAll(Character.toChars(c))
+      }
+      idx += Character.charCount(cp)
     }
     sb += q
     sb.toString
@@ -213,11 +249,13 @@ object PyDictParser {
       PyDict(m.toVector)
     }
 
-    private def list(): PyList = {
-      val close = if (peek == '[') ']' else ')'
+    private def list(): PyVal = {
+      val isTuple = peek == '('
+      val close = if (isTuple) ')' else ']'
+      def wrap(xs: List[PyVal]): PyVal = if (isTuple) PyTuple(xs) else PyList(xs)
       next(); ws()
       val xs = scala.collection.mutable.ListBuffer.empty[PyVal]
-      if (peek == close) { next(); return PyList(xs.toList) }
+      if (peek == close) { next(); return wrap(xs.toList) }
       var done = false
       while (!done) {
         xs += value()
@@ -228,7 +266,7 @@ object PyDictParser {
           case _   => throw new ParseError
         }
       }
-      PyList(xs.toList)
+      wrap(xs.toList)
     }
 
     private def str(): String = {

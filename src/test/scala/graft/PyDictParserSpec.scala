@@ -27,13 +27,32 @@ class PyDictParserSpec extends AnyFunSuite {
     assert(PyDictParser.extractKey(cell, "note") == "it's fine")
   }
 
+  test("tuples, -0.0, and non-printable repr escapes (CPython goldens)") {
+    // each golden generated with CPython eval + str on this host
+    assert(PyDictParser.extractKey("{'pages': (1, 2)}", "pages") == "(1, 2)")
+    assert(PyDictParser.extractKey("{'pages': (7,)}", "pages") == "(7,)")
+    assert(PyDictParser.extractKey("{'pages': ()}", "pages") == "()")
+    assert(PyDictParser.extractKey("{'mix': ({'a': 1}, [2.5], 'x')}", "mix")
+      == "({'a': 1}, [2.5], 'x')")
+    // str(-0.0) keeps the sign
+    assert(PyDictParser.extractKey("{'score': -0.0}", "score") == "-0.0")
+    // NESTED strings render via repr, which escapes non-printable
+    // non-ASCII (NBSP, C1 NEL, LINE SEPARATOR); TOP-LEVEL strings stay raw
+    val nbsp = "\u00a0"; val nel = "\u0085"; val lsep = "\u2028"
+    assert(PyDictParser.extractKey(s"{'authors': ['X${nbsp}Y']}", "authors")
+      == "['X\\xa0Y']")
+    assert(PyDictParser.extractKey(s"{'t': ['${nel}nel', '${lsep}ls']}", "t")
+      == "['\\x85nel', '\\u2028ls']")
+    assert(PyDictParser.extractKey(s"{'t': '${lsep}line'}", "t") == lsep + "line")
+  }
+
   test("malformed dict-ish cells pass through (reference would raise in eval)") {
     assert(PyDictParser.extractKey("{not python", "k") == "{not python")
   }
 
   test("parse handles numbers, tuples, nesting") {
     assert(PyDictParser.parse("{'a': {'b': [1, 2.5, -3]}}").isDefined)
-    assert(PyDictParser.parse("('x', 'y')") == Some(PyList(List(PyStr("x"), PyStr("y")))))
+    assert(PyDictParser.parse("('x', 'y')") == Some(PyTuple(List(PyStr("x"), PyStr("y")))))
     assert(PyDictParser.parse("{'trailing': 1,}").isDefined)
     assert(PyDictParser.parse("{bad}") == None)
   }
