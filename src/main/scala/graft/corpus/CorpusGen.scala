@@ -117,7 +117,7 @@ object CorpusGen {
     } else (plain0, plain0)
   }
 
-  def titleFor(docId: Long, rng: Rng): String =
+  private def titleFor(docId: Long, rng: Rng): String =
     s"Study $docId of ${rng.pick(TargetWords)} and ${rng.pick(NeutralWords)}"
 
   def doiFor(docId: Long): Option[String] =
@@ -132,10 +132,15 @@ object CorpusGen {
   }
 
   /** Golden only, WITHOUT building the page bytes: skips PdfWriter.build
-    * (the deflate step) and renderHtml — neither consumes the rng, and
-    * every golden field is drawn before them, so the golden stays
-    * byte-identical to genDoc's while the goldens sidecar table stops
-    * paying full page construction for output it discards. */
+    * (the deflate step) and renderHtml. The invariant that keeps this
+    * byte-identical to genDoc's golden is ORDERING, not non-consumption:
+    * renderHtml DOES draw from the rng (nav/side link picks), but every
+    * golden field is drawn BEFORE the skipped steps, so the golden's
+    * slice of the stream is unchanged. Do not reorder page construction
+    * before golden construction, and do not reuse the rng after the
+    * skipped branch expecting an aligned stream (CorpusExtractionSpec's
+    * genGolden==genDoc gate pins the first hazard; nothing can pin the
+    * second). */
   def genGolden(docId: Long): Golden = gen(docId, wantPage = false)._2
 
   private def gen(docId: Long, wantPage: Boolean): (Option[Page], Golden) = {

@@ -4,13 +4,28 @@ package graft.model
   * absent values so parquet/oracle round trips stay schema-stable.
   */
 
-/** Input row of the `pages` table (BASELINE.json input_hint). */
+/** Input row of the `pages` table (BASELINE.json input_hint).
+  *
+  * equals/hashCode are overridden to compare `html` by CONTENT: the
+  * case-class default compares Array[Byte] by reference, so two
+  * structurally identical pages would never be equal — a silent hazard
+  * for any driver-side Set/Map/distinct over collected rows. (Spark
+  * itself is unaffected: encoders serialize fields, not equals.) */
 final case class PageRecord(
     url: String,
     warc_ts: java.sql.Timestamp,
     html: Array[Byte],
     text: String,
-    lang: String)
+    lang: String) {
+  override def equals(o: Any): Boolean = o match {
+    case p: PageRecord => url == p.url && warc_ts == p.warc_ts &&
+      java.util.Arrays.equals(html, p.html) && text == p.text && lang == p.lang
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(url, warc_ts,
+      Integer.valueOf(java.util.Arrays.hashCode(html)), text, lang)
+}
 
 /** Term + count pair (reference FreqDistAndCount element,
   * /root/reference/src/docscraper.py:18-34). */
