@@ -213,6 +213,11 @@ object CorpusGen {
   def buttonPage(id: Long): String = {
     val onclick =
       if (id % 7 == 3) s"window.open('/not/a/match/$id')"
+      // 3+ leading slashes: the reference's sep=='//' test is EXACT, so
+      // '///host' takes the base-url branch, not the https:// one — a
+      // payload shape the fixture must cover or the distinction stays
+      // latent in q36's oracle (round-4 ADVICE)
+      else if (id % 11 == 5) s"location.href='///cdn.example.org/pdf/$id/paper$id.pdf?download=true"
       else if (id % 2 == 0) s"location.href='//dl.example.org/pdf/$id/paper$id.pdf?download=true"
       else s"location.href='/downloads/2022-11-06/$id/paper$id.pdf?download=true"
     s"""<html><body>

@@ -15,63 +15,74 @@ final class PdfDoc(data: Array[Byte]) {
   // (each was allocating its own 2x-size char[] per document)
   private val dataStr = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
 
-  /** All objects in FILE ORDER (top-level scan order, then ObjStm
-    * contents), unique ids. Two deliberate semantics here:
+  /** All objects in FILE ORDER (ObjStm contents interleaved at their
+    * container's position), unique ids. Two deliberate semantics here:
     *   - fallback scans ("first/last object that looks like X") iterate
     *     THIS vector — a plain Map.values iterates hash-ordered, which
     *     made damaged-file page order and multi-revision trailer/info
     *     picks nondeterministic;
-    *   - a TOP-LEVEL object wins an id conflict with an ObjStm-contained
-    *     copy: an incremental update appends a plain `N G obj` revision
-    *     that supersedes the compressed original, so the ObjStm copy is
-    *     the stale one. */
+    *   - an id conflict resolves to the LAST definition in file order,
+    *     uniformly across top-level and ObjStm-contained copies (round-4
+    *     ADVICE: a blanket top-level preference inverts for incremental
+    *     updates that store the revision in a NEW ObjStm — the common
+    *     shape in xref-stream-only PDFs; without real xref processing,
+    *     file position is the only revision signal, and appended-later
+    *     means newer for both storage forms). A redefined id also MOVES
+    *     to its winning definition's position, so first/last fallback
+    *     scans see the newest revision's order. */
   val objectsOrdered: Vector[((Int, Int), PObj)] = {
     val top = scanObjects()
     val topMap = top.toMap
-    top ++ expandObjectStreams(top, topMap).filterNot { case (id, _) => topMap.contains(id) }
+    val defs = top.flatMap {
+      case e @ (_, st @ PStream(dict, _)) if dict.get("Type").contains(PName("ObjStm")) =>
+        e +: objStmContents(st, topMap)
+      case e => Vector(e)
+    }
+    val m = mutable.LinkedHashMap.empty[(Int, Int), PObj]
+    defs.foreach { case (id, o) => m.remove(id); m.update(id, o) }
+    m.toVector
   }
   val objects: Map[(Int, Int), PObj] = objectsOrdered.toMap
   private val trailerDict: Option[PDict] = findTrailer()
 
-  /** Objects stored inside /Type /ObjStm compressed streams (PDF 1.5+,
-    * ISO 32000-1 §7.5.7): header is N pairs "objnum offset", bodies start
-    * at /First. Needed for real-world fixtures like
-    * /root/reference/tests/test_dirs/test_pdf_1.pdf. */
-  private def expandObjectStreams(
-      topOrdered: Vector[((Int, Int), PObj)],
+  /** Objects stored inside ONE /Type /ObjStm compressed stream (PDF
+    * 1.5+, ISO 32000-1 §7.5.7): header is N pairs "objnum offset",
+    * bodies start at /First. Needed for real-world fixtures like
+    * /root/reference/tests/test_dirs/test_pdf_1.pdf. Returns contents in
+    * header order; the caller interleaves them at the container's file
+    * position so id conflicts resolve by position uniformly. */
+  private def objStmContents(
+      st: PStream,
       top: Map[(Int, Int), PObj]): Vector[((Int, Int), PObj)] = {
-    // this runs INSIDE the `objects` initializer, so resolution must go
-    // through `top`, never this.objects (still null here) — /Filter, /N
-    // and /First are all legal as indirect references
+    // this runs INSIDE the `objectsOrdered` initializer, so resolution
+    // must go through `top`, never this.objects (still null here) —
+    // /Filter, /N and /First are all legal as indirect references
     def resolveTop(o: PObj, depth: Int = 0): PObj = o match {
       case PRef(num, gen) =>
         if (depth >= 64) PNull
         else top.get((num, gen)).map(resolveTop(_, depth + 1)).getOrElse(PNull)
       case other => other
     }
-    val out = mutable.LinkedHashMap.empty[(Int, Int), PObj]
-    topOrdered.map(_._2).foreach {
-      case st @ PStream(dict, _) if dict.get("Type").contains(PName("ObjStm")) =>
+    val dict = st.dict
+    val out = Vector.newBuilder[((Int, Int), PObj)]
+    try {
+      val bytes = decodeStreamUsing(st, resolveTop(_))
+      val n = resolveTop(dict.get("N").getOrElse(PNull)) match { case PNum(v) => v.toInt; case _ => 0 }
+      val first = resolveTop(dict.get("First").getOrElse(PNull)) match { case PNum(v) => v.toInt; case _ => 0 }
+      val header = new PdfLexer(bytes, 0)
+      val pairs = (0 until n).map { _ =>
+        val num = header.parseNumber().toInt
+        val off = header.parseNumber().toInt
+        (num, off)
+      }
+      pairs.foreach { case (num, off) =>
         try {
-          val bytes = decodeStreamUsing(st, resolveTop(_))
-          val n = resolveTop(dict.get("N").getOrElse(PNull)) match { case PNum(v) => v.toInt; case _ => 0 }
-          val first = resolveTop(dict.get("First").getOrElse(PNull)) match { case PNum(v) => v.toInt; case _ => 0 }
-          val header = new PdfLexer(bytes, 0)
-          val pairs = (0 until n).map { _ =>
-            val num = header.parseNumber().toInt
-            val off = header.parseNumber().toInt
-            (num, off)
-          }
-          pairs.foreach { case (num, off) =>
-            try {
-              val lex = new PdfLexer(bytes, first + off)
-              out.update((num, 0), lex.parseObj())
-            } catch { case _: Exception => () }
-          }
+          val lex = new PdfLexer(bytes, first + off)
+          out += (((num, 0), lex.parseObj()))
         } catch { case _: Exception => () }
-      case _ => ()
-    }
-    out.toVector
+      }
+    } catch { case _: Exception => () }
+    out.result()
   }
 
   private def scanObjects(): Vector[((Int, Int), PObj)] = {
@@ -125,6 +136,10 @@ final class PdfDoc(data: Array[Byte]) {
             searchFrom = lexer.pos
             value
           }
+        // remove-then-update: a redefined id (incremental update) moves
+        // to its LAST definition's position, keeping the whole-file
+        // last-wins ordering objectsOrdered builds on
+        out.remove((num, gen))
         out.update((num, gen), obj)
       } catch { case _: Exception => () } // tolerate junk between objects
     }

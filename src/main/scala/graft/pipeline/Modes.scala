@@ -76,7 +76,19 @@ object Modes {
     liveCaches.add(cached)
     while (liveCaches.size > MaxLiveCaches) {
       val oldest = liveCaches.poll()
-      if (oldest != null) scala.util.Try(oldest.unpersist(false))
+      if (oldest != null) {
+        // loud, not silent (round-4 ADVICE): evicting a generation a
+        // concurrent mode run has not yet actioned forces that run to
+        // silently re-execute its whole pipeline — including any online
+        // fetch seam. Overflow means >MaxLiveCaches un-released runs:
+        // a tenancy misuse that must surface in the logs.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"Modes.finish cache queue overflow (>$MaxLiveCaches un-released " +
+            "mode runs): evicting the oldest cached frame; a concurrent " +
+            "run still holding it will re-execute its pipeline. Call " +
+            "Modes.releaseCaches() after consuming each mode's outputs.")
+        scala.util.Try(oldest.unpersist(false))
+      }
     }
     Casting.dataframeCasting(Stagers.dropAllEmptyColumns(cached))
   }

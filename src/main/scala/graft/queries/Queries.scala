@@ -138,34 +138,40 @@ object Queries {
     * a cache read instead of a recompute, which at 100 TB is exactly the
     * materialized signature table a dedup/ANN job writes once. */
   /** max(vec_id) of the embeddings table, one job per (session, dir) —
-    * a fail-loud collision guard, not a result cache. Keyed by the
-    * session's IDENTITY HASH, not the session itself, so a retained map
-    * entry never pins a stopped SparkSession (round-3 ADVICE); bounded at
-    * 64 entries (entries are 16 bytes — the bound guards the pathological
-    * many-sessions test loop, not memory). The dir's embeddings table is
-    * assumed immutable within a session: rewriting it mid-session and
-    * re-running q26 would reuse the stale guard (documented trade-off —
-    * the guard exists to catch FIXTURE id-space collisions, which are a
-    * property of the written table, not of time). */
+    * a fail-loud collision guard, not a result cache. WEAK-keyed on the
+    * session itself (round-4 ADVICE: an identityHashCode key can collide
+    * with a retained entry from a dead session, silently extending the
+    * 'immutable within a session' assumption across sessions, and the
+    * size-triggered clear() raced computeIfAbsent): a weak key never pins
+    * a stopped SparkSession, dies with it, and needs no bound or clear.
+    * The memoized job runs under the map lock — acceptable: it is one
+    * tiny metadata job per (session, dir), computed once per session
+    * life. The dir's embeddings table is assumed immutable within a
+    * session: rewriting it mid-session and re-running q26 would reuse
+    * the stale guard (documented trade-off — the guard exists to catch
+    * FIXTURE id-space collisions, a property of the written table, not
+    * of time). */
   private val VecGuard =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
-  private def maxVecId(s: SparkSession, dir: String): Long = {
-    if (VecGuard.size > 64) VecGuard.clear()
-    VecGuard.computeIfAbsent((System.identityHashCode(s), dir),
-      _ => t(s, dir, "embeddings").agg(max("vec_id")).head().getLong(0)).longValue()
-  }
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Long]]()
+  private def sessionMemo(
+      guard: java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Long]],
+      s: SparkSession, dir: String)(compute: => Long): Long =
+    guard.synchronized {
+      guard.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, compute)
+    }
+  private def maxVecId(s: SparkSession, dir: String): Long =
+    sessionMemo(VecGuard, s, dir)(
+      t(s, dir, "embeddings").agg(max("vec_id")).head().getLong(0))
 
   /** embeddings row count for q16's brute-force guard — memoized per
     * (session, dir) under the SAME contract as VecGuard (a bench sweep
     * must not pay a count() job per repetition; the table is assumed
     * immutable within a session). */
   private val RowGuard =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
-  private def embeddingsCount(s: SparkSession, dir: String): Long = {
-    if (RowGuard.size > 64) RowGuard.clear()
-    RowGuard.computeIfAbsent((System.identityHashCode(s), dir),
-      _ => t(s, dir, "embeddings").count()).longValue()
-  }
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Long]]()
+  private def embeddingsCount(s: SparkSession, dir: String): Long =
+    sessionMemo(RowGuard, s, dir)(t(s, dir, "embeddings").count())
 
   private object SwapCache {
     private var last: Map[String, List[DataFrame]] = Map.empty
@@ -1058,16 +1064,24 @@ object Queries {
     "q27_winnow_fingerprints",
     (s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
+      val fps = t(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           (id, graft.textops.Winnowing.fingerprintSet(text).toSeq.sorted)
         })
         .toDF("doc_id", "fps")
+      // the per-doc fingerprint ARRAYS are dumped and read back so the
+      // oracle re-derives the count column + the exploded posting table
+      // from the same bytes (round-4 verdict #2 — the q21 unnest
+      // pattern); the rolling-hash core itself stays law-pinned in
+      // WinnowingSpec, this green row covers the distributed plumbing
+      auxTable(s, fps, "q27_fps")
         .selectExpr("doc_id", "CAST(size(fps) AS BIGINT) AS n_fps",
           "explode(fps) AS fp")
     },
-    None)
+    Some(s"""SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+      unnest(fps) AS fp
+      FROM read_parquet('$AuxDir/q27_fps/*.parquet')"""))
 
   /** Corpus-wide term frequency top-k: Generate (explode) -> two-phase
     * hash aggregate -> global TakeOrderedAndProject. At 100 TB the
@@ -1481,7 +1495,7 @@ object Queries {
     },
     Some(s"""SELECT row_id, onclick,
       CASE
-        WHEN onclick LIKE 'location.href=''//%'
+        WHEN onclick LIKE 'location.href=''//%' AND onclick NOT LIKE 'location.href=''///%'
           THEN 'https://' || regexp_replace(regexp_extract(onclick, '^location\\.href=''/+(.*)$$', 1), 'location\\.href=''', '', 'g')
         WHEN onclick LIKE 'location.href=''/%'
           THEN 'https://sci-hub.example.org/' || regexp_replace(regexp_extract(onclick, '^location\\.href=''/+(.*)$$', 1), 'location\\.href=''', '', 'g')
@@ -1634,10 +1648,14 @@ object Queries {
     * (dropDuplicatesWithinWatermark; the second copy of every planted
     * duplicate page is dropped regardless of micro-batch boundaries) ->
     * the SAME per-partition extract+score as batch -> parquet sink —
-    * then the sink is read back and rolled up per kind. Rows-only check:
-    * the rollup crosses the HTML/PDF parsers, which are not
-    * SQL-expressible (their byte-identical gate is q17 + the golden
-    * suite). */
+    * then the sink is read back and rolled up per kind. The per-doc sink
+    * rows and the raw INPUT urls are dumped, so the oracle re-derives
+    * the rollup from the same bytes AND asserts the planted-duplicate
+    * arithmetic inside its WHERE clause: the 400 input rows (200 pages
+    * x 2 writes) must have collapsed to exactly one sink row per
+    * distinct url, else the guard zeroes the oracle rows and the row
+    * counts mismatch (round-4 verdict #3). The parser cores feeding
+    * total_word_count stay gated by q17 + the golden suite. */
   private val q40 = Q(
     "q40_stream_extract",
     (s, _) => {
@@ -1652,7 +1670,10 @@ object Queries {
           CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet,
           availableNow = true, dedup = true)
         q.awaitTermination()
-        val rollup = s.read.parquet(base.resolve("out").toString)
+        auxDump(s.read.parquet(inDir).select("url"), "q40_in")
+        val sinkRows = s.read.parquet(base.resolve("out").toString)
+          .select("url", "kind", "total_word_count", "ok")
+        val rollup = auxTable(s, sinkRows, "q40_sink")
           .groupBy("kind")
           .agg(
             count(lit(1)).as("n_docs"),
@@ -1672,7 +1693,15 @@ object Queries {
         rm(base.toFile)
       }
     },
-    None)
+    Some(s"""WITH sink AS (SELECT * FROM read_parquet('$AuxDir/q40_sink/*.parquet')),
+      inp AS (SELECT url FROM read_parquet('$AuxDir/q40_in/*.parquet'))
+      SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CAST(total_word_count AS BIGINT)) AS BIGINT) AS n_tokens,
+        CAST(SUM(CAST(ok AS INT)) AS BIGINT) AS n_ok
+      FROM sink
+      WHERE (SELECT COUNT(*) FROM sink) = (SELECT COUNT(DISTINCT url) FROM inp)
+        AND (SELECT COUNT(*) FROM inp) = 2 * (SELECT COUNT(*) FROM sink)
+      GROUP BY kind ORDER BY kind"""))
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
