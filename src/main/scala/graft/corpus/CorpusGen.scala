@@ -200,6 +200,28 @@ object CorpusGen {
     }
   }
 
+  /** Bench-only heavy-tail page: the SAME html layout as genDoc's HTML
+    * branch with the article body paragraphs tiled `mult` times, so page
+    * SIZE follows a power tail while the per-byte parse work stays
+    * representative (real boilerplate ratios, same DOM shapes). No
+    * golden — these pages feed the byte-skew throughput legs (Bench's
+    * heavy_tail evidence), not correctness gates; the extractor must
+    * still return ok=true on them. Deterministic in (docId, mult). */
+  def genHeavyPage(docId: Long, mult: Int): PageRecord = {
+    val rng = new Rng(docId)
+    val (abstractText, _, _, _) = genAbstract(rng)
+    val title = titleFor(docId, rng)
+    val doi = doiFor(docId)
+    val basePairs = (0 until 2 + rng.nextInt(4)).map(_ => decoratedParagraph(rng))
+    val citations = (0 until rng.nextInt(4)).map(i =>
+      s"Author ${('A' + rng.nextInt(26)).toChar}. (${2000 + rng.nextInt(25)}). Cited work $i.")
+    val paras = Seq.fill(math.max(1, mult))(basePairs.map(_._2)).flatten
+    val htmlStr = renderHtml(docId, title, abstractText, doi, paras, citations, rng)
+    PageRecord(url(docId), new java.sql.Timestamp(Epoch + docId * 1000L),
+      htmlStr.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      abstractText, langFor(docId))
+  }
+
   /** Sci-hub-style download-button page (reference
     * /root/reference/src/downloaders.py:215-230: `css_first("#buttons
     * button:nth-child(1)").attributes["onclick"]`): the first button in

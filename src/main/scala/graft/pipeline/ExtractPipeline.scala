@@ -32,6 +32,24 @@ object ExtractPipeline {
     spark.range(0, nDocs, 1, parts).map(i => CorpusGen.genDoc(i)._1)
   }
 
+  /** Heavy-tail variant of [[pages]]: one doc in `share` has its body
+    * tiled 50–100x (deterministic in docId), giving the corpus a
+    * Common-Crawl-style power-law page-SIZE tail on top of the hot-domain
+    * COUNT skew. Bench's byte-skew evidence leg reads this; salting by
+    * url hash balances row counts, not bytes, so the parse-stage
+    * max/median under this corpus measures what a single giant page does
+    * to a salted task. */
+  def heavyTailPages(spark: SparkSession, nDocs: Long, nPartitions: Int,
+      share: Int = 100, multLo: Int = 50, multHi: Int = 100): Dataset[PageRecord] = {
+    import spark.implicits._
+    spark.range(0, nDocs, 1, nPartitions).map { i =>
+      if (i % share == (share - 1)) {
+        val mult = multLo + (graft.util.SplitMix.nonNeg(i) % (multHi - multLo + 1)).toInt
+        CorpusGen.genHeavyPage(i, mult)
+      } else CorpusGen.genDoc(i)._1
+    }
+  }
+
   /** Goldens for the same id range (sidecar table; FIXTURES.md §1). */
   def goldens(spark: SparkSession, nDocs: Long, nPartitions: Int = 0): DataFrame = {
     import spark.implicits._
