@@ -269,8 +269,13 @@ object Bench {
     // and publishes the parse-stage max/median under byte skew — the
     // straggler bound a byte-weighted scheduler would have to beat.
     val heavyDocs = 20000L
+    // constants passed explicitly AND interpolated into the metric line
+    // from the same vals — a hardcoded JSON copy would silently lie about
+    // the corpus if the generator defaults were ever retuned
+    val (heavyShare, heavyMultLo, heavyMultHi) = (97, 50, 100)
     val heavyPath = tmp.resolve("heavy").toString
-    ExtractPipeline.heavyTailPages(spark, heavyDocs, cpus * 4)
+    ExtractPipeline.heavyTailPages(spark, heavyDocs, cpus * 4,
+        heavyShare, heavyMultLo, heavyMultHi)
       .write.mode("overwrite").parquet(heavyPath)
     val heavyLeg = parseLeg(
       spark.read.parquet(heavyPath).as[graft.model.PageRecord], cpus)
@@ -377,7 +382,7 @@ object Bench {
       s""","task_ms_max":${headlineTaskMax.mkString("[", ",", "]")}""" +
       s""","cpu_ms":${headlineCpu.mkString("[", ",", "]")}""" +
       s""","parent_sec":${f(parentSec)},"parent_gc_ms":$parentGcMs,"parent_cpu_ms":$parentCpuMs}""" +
-      s""","skew_evidence":{"docs":$skewDocs,"hot_domain_share":${f(CorpusGen.HotDomainShare / 10.0)},"domain_partitioned":${domainLeg.json},"salted":${saltedLeg.json},"heavy_tail":{"docs":$heavyDocs,"heavy_share":0.01,"mult_range":[50,100],"leg":${heavyLeg.json}}}""" +
+      s""","skew_evidence":{"docs":$skewDocs,"hot_domain_share":${f(CorpusGen.HotDomainShare / 10.0)},"domain_partitioned":${domainLeg.json},"salted":${saltedLeg.json},"heavy_tail":{"docs":$heavyDocs,"heavy_share":${fmt(1.0 / heavyShare)},"mult_range":[$heavyMultLo,$heavyMultHi],"leg":${heavyLeg.json}}}""" +
       s""","scaling":{"cpus_lo":$cpusLo,"sec_lo":${f(tLo)},"cpus_hi":$cpusHi,"sec_hi":${f(tHi)},"efficiency":${f(efficiency)},"fallback_legs":$fallbackLegs,"escalated":$escalated,"pair_ratios":${pairs.map { case (lo, hi) => f(lo.sec / hi.sec) }.mkString("[", ",", "]")},"pairs":${pairs.map { case (lo, hi) => s"""{"lo":${lo.json},"hi":${hi.json}}""" }.mkString("[", ",", "]")}}}"""
     println(line)
     // belt-and-braces: also land the metric line in a file so the bench

@@ -143,12 +143,18 @@ object CorpusGen {
     * second). */
   def genGolden(docId: Long): Golden = gen(docId, wantPage = false)._2
 
-  private def gen(docId: Long, wantPage: Boolean): (Option[Page], Golden) = {
+  private def gen(docId: Long, wantPage: Boolean,
+      bodyMult: Int = 1): (Option[Page], Golden) = {
     val rng = new Rng(docId)
     val (abstractText, tHits, bHits, totalW) = genAbstract(rng)
     val title = titleFor(docId, rng)
     val doi = doiFor(docId)
-    val paragraphPairs = (0 until 2 + rng.nextInt(4)).map(_ => decoratedParagraph(rng))
+    val basePairs = (0 until 2 + rng.nextInt(4)).map(_ => decoratedParagraph(rng))
+    // bodyMult > 1 tiles the article body WITHOUT extra rng draws, so
+    // the golden/page stream alignment is untouched and the tiled golden
+    // stays byte-consistent with the tiled page (heavy-tail bench docs)
+    val paragraphPairs =
+      if (bodyMult <= 1) basePairs else Seq.fill(bodyMult)(basePairs).flatten
     val paragraphs = paragraphPairs.map(_._1)
     val u = url(docId)
     val ts = new java.sql.Timestamp(Epoch + docId * 1000L)
@@ -200,27 +206,16 @@ object CorpusGen {
     }
   }
 
-  /** Bench-only heavy-tail page: the SAME html layout as genDoc's HTML
-    * branch with the article body paragraphs tiled `mult` times, so page
-    * SIZE follows a power tail while the per-byte parse work stays
-    * representative (real boilerplate ratios, same DOM shapes). No
-    * golden — these pages feed the byte-skew throughput legs (Bench's
-    * heavy_tail evidence), not correctness gates; the extractor must
-    * still return ok=true on them. Deterministic in (docId, mult). */
-  def genHeavyPage(docId: Long, mult: Int): PageRecord = {
-    val rng = new Rng(docId)
-    val (abstractText, _, _, _) = genAbstract(rng)
-    val title = titleFor(docId, rng)
-    val doi = doiFor(docId)
-    val basePairs = (0 until 2 + rng.nextInt(4)).map(_ => decoratedParagraph(rng))
-    val citations = (0 until rng.nextInt(4)).map(i =>
-      s"Author ${('A' + rng.nextInt(26)).toChar}. (${2000 + rng.nextInt(25)}). Cited work $i.")
-    val paras = Seq.fill(math.max(1, mult))(basePairs.map(_._2)).flatten
-    val htmlStr = renderHtml(docId, title, abstractText, doi, paras, citations, rng)
-    PageRecord(url(docId), new java.sql.Timestamp(Epoch + docId * 1000L),
-      htmlStr.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      abstractText, langFor(docId))
-  }
+  /** Bench-only heavy-tail doc: genDoc's EXACT page construction (same
+    * rng stream, same layouts, the doc's natural HTML-or-PDF kind) with
+    * the article body tiled `mult` times, so page SIZE follows a power
+    * tail while the per-byte parse work stays representative. Shares
+    * gen() rather than copying it — the heavy corpus can never drift
+    * from the real one. These pages feed the byte-skew throughput legs
+    * (Bench's heavy_tail evidence); the extractor must still return
+    * ok=true on them. Deterministic in (docId, mult). */
+  def genHeavyPage(docId: Long, mult: Int): PageRecord =
+    gen(docId, wantPage = true, bodyMult = math.max(1, mult))._1.get
 
   /** Sci-hub-style download-button page (reference
     * /root/reference/src/downloaders.py:215-230: `css_first("#buttons

@@ -33,14 +33,16 @@ object ExtractPipeline {
   }
 
   /** Heavy-tail variant of [[pages]]: one doc in `share` has its body
-    * tiled 50–100x (deterministic in docId), giving the corpus a
-    * Common-Crawl-style power-law page-SIZE tail on top of the hot-domain
-    * COUNT skew. Bench's byte-skew evidence leg reads this; salting by
-    * url hash balances row counts, not bytes, so the parse-stage
-    * max/median under this corpus measures what a single giant page does
-    * to a salted task. */
+    * tiled `multLo`–`multHi` times (deterministic in docId), giving the
+    * corpus a Common-Crawl-style power-law page-SIZE tail on top of the
+    * hot-domain COUNT skew. `share` defaults to a PRIME (97) so heavy
+    * ids are not aligned with the docId%10 HTML/PDF kind split — both
+    * parsers get heavy pages. Bench's byte-skew evidence leg reads this;
+    * salting by url hash balances row counts, not bytes, so the
+    * parse-stage max/median under this corpus measures what a single
+    * giant page does to a salted task. */
   def heavyTailPages(spark: SparkSession, nDocs: Long, nPartitions: Int,
-      share: Int = 100, multLo: Int = 50, multHi: Int = 100): Dataset[PageRecord] = {
+      share: Int = 97, multLo: Int = 50, multHi: Int = 100): Dataset[PageRecord] = {
     import spark.implicits._
     spark.range(0, nDocs, 1, nPartitions).map { i =>
       if (i % share == (share - 1)) {

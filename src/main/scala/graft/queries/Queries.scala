@@ -155,11 +155,16 @@ object Queries {
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Long]]()
   private def sessionMemo(
       guard: java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Long]],
-      s: SparkSession, dir: String)(compute: => Long): Long =
-    guard.synchronized {
+      s: SparkSession, dir: String)(compute: => Long): Long = {
+    // two-level locking: the global map lock is held only for the inner-
+    // map lookup; the Spark job runs under the SESSION's lock, so
+    // concurrent sessions compute their guards in parallel (only same-
+    // session same-guard calls serialize, which is the memo contract)
+    val m = guard.synchronized {
       guard.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir, compute)
     }
+    m.synchronized { m.getOrElseUpdate(dir, compute) }
+  }
   private def maxVecId(s: SparkSession, dir: String): Long =
     sessionMemo(VecGuard, s, dir)(
       t(s, dir, "embeddings").agg(max("vec_id")).head().getLong(0))

@@ -123,9 +123,11 @@ class ModesSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("download mode: button-page selector descent -> link clean -> receipts") {
-    // id 2: protocol-relative payload; id 5: root-relative; id 3:
-    // non-matching onclick (id % 7 == 3) -> reference returns None
-    val path = tmpFile("dois.csv", "doi\n10.5555/g2\n10.5555/g5\n10.5555/g3\n")
+    // id 2: protocol-relative payload; id 1: root-relative; id 16:
+    // triple-slash (base-url branch, id % 11 == 5); id 3: non-matching
+    // onclick (id % 7 == 3) -> reference returns None
+    val path = tmpFile("dois.csv",
+      "doi\n10.5555/g2\n10.5555/g1\n10.5555/g16\n10.5555/g3\n")
     val base = "https://sci-hub.example.org/"
     val out = Modes.download(spark, path,
       doi => CorpusGen.buttonPage(doi.substring(doi.indexOf('g') + 1).toLong),
@@ -133,7 +135,10 @@ class ModesSpec extends AnyFunSuite with SparkTestBase {
     val rows = out.collect().map(r => r.getAs[String]("filepath") -> r).toMap
     val byUrl = out.collect().map(r => r.getAs[String]("url")).toSet
     assert(byUrl.exists(_.startsWith("https://dl.example.org/pdf/2/")))
-    assert(byUrl.exists(_.startsWith(base)))
+    // single-slash root-relative rewrite pinned on its own (a '///' hit
+    // also starts with base, so the assertion names the path)
+    assert(byUrl.exists(_.startsWith(base + "downloads/2022-11-06/1/")))
+    assert(byUrl.exists(_.startsWith(base + "cdn.example.org/pdf/16/")))
     // the non-matching page yields a failed receipt, not a dropped row
     val failed = out.collect().filter(!_.getAs[Boolean]("success"))
     assert(failed.length == 1 && failed.head.getAs[String]("url") == "")
