@@ -215,7 +215,16 @@ object CorpusGen {
     * (Bench's heavy_tail evidence); the extractor must still return
     * ok=true on them. Deterministic in (docId, mult). */
   def genHeavyPage(docId: Long, mult: Int): PageRecord =
-    gen(docId, wantPage = true, bodyMult = math.max(1, mult))._1.get
+    genHeavyDoc(docId, mult)._1
+
+  /** Heavy doc WITH its golden: because bodyMult tiles the (plain, html)
+    * paragraph pairs together, the tiled golden stays byte-consistent
+    * with the tiled page — so the byte-identical extraction gate extends
+    * to the size tail (CorpusExtractionSpec pins it at mult=50). */
+  def genHeavyDoc(docId: Long, mult: Int): (Page, Golden) = {
+    val (page, golden) = gen(docId, wantPage = true, bodyMult = math.max(1, mult))
+    (page.get, golden)
+  }
 
   /** Sci-hub-style download-button page (reference
     * /root/reference/src/downloaders.py:215-230: `css_first("#buttons

@@ -39,6 +39,26 @@ class CorpusExtractionSpec extends AnyFunSuite {
     assert(htmlDocs > 100 && pdfDocs > 50, s"mix check html=$htmlDocs pdf=$pdfDocs")
   }
 
+  test("byte-identical extraction holds at the size tail (50x-tiled heavy docs)") {
+    // the heavy-tail bench corpus must be CORRECT, not just fast: the
+    // same byte-identity gate on 50x-body pages exercises the parsers'
+    // large-input paths (HTML across all four layout shapes + multi-page
+    // PDFs) and pins that genHeavyDoc's golden tiles consistently
+    var pdfDocs = 0
+    Seq(0L, 1L, 2L, 3L, 7L, 9L, 13L, 17L, 27L, 96L).foreach { id =>
+      val (page, golden) = CorpusGen.genHeavyDoc(id, 50)
+      val (normal, _) = CorpusGen.genDoc(id)
+      assert(page.html.length > normal.html.length * 10, s"doc $id not heavy")
+      val ex = Extractor.extract(page)
+      assert(ex.ok, s"heavy doc $id failed: ${ex.error}")
+      assert(ex.extracted_text == golden.extracted_text,
+        s"heavy doc $id (${ex.kind}) text mismatch")
+      assert(ex.title == golden.title && ex.doi == golden.doi, s"heavy doc $id fields")
+      if (ex.kind == "pdf") pdfDocs += 1
+    }
+    assert(pdfDocs >= 3, s"mix check pdf=$pdfDocs")
+  }
+
   test("structured fields match goldens (title, abstract, doi, citations)") {
     (0L until N).foreach { id =>
       val (page, golden) = CorpusGen.genDoc(id)
