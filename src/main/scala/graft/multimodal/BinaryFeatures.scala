@@ -37,10 +37,18 @@ object BinaryFeatures {
     else if (bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F') "pdf"
     else if (bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
     else if (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
-    else if ((bytes(0) == '<') || (bytes(0) == '!' ) ||
-             new String(bytes, 0, math.min(bytes.length, 15),
-               java.nio.charset.StandardCharsets.US_ASCII).toLowerCase.contains("<")) "html"
-    else "bin"
+    else {
+      // html iff the FIRST NON-WHITESPACE byte is '<' (leading blank
+      // lines are common in real pages). Scanning the head for a '<'
+      // ANYWHERE misclassified arbitrary binaries whose first bytes
+      // happen to contain 0x3C — e.g. a 60px-wide GIF's width field —
+      // as html (round-5 review).
+      var i = 0
+      while (i < math.min(bytes.length, 15) &&
+          (bytes(i) == ' ' || bytes(i) == '\t' || bytes(i) == '\r' || bytes(i) == '\n'))
+        i += 1
+      if (i < bytes.length && bytes(i) == '<') "html" else "bin"
+    }
   }
 
   def entropyE4(bytes: Array[Byte]): Long = {

@@ -54,6 +54,20 @@ object Sources {
     * as the reference's Python list-of-tuples repr
     * (`[('spark', 2), ...]`, docscraper.py's most_common output); any
     * other array/struct/map column renders as JSON. */
+  /** Python `repr(str)` quote selection for the term tuples (round-5
+    * review — a term containing an apostrophe rendered ('don't', 2)
+    * where CPython writes ("don't", 2)): backslashes double, then the
+    * string single-quotes with \' escapes UNLESS it contains a single
+    * quote and no double quote, in which case it double-quotes
+    * unescaped — CPython's exact rule. (Control-char escapes are not
+    * reproduced; terms are space-split tokens.) */
+  private[graft] def pyStrRepr(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val esc = regexp_replace(x, "\\\\", "\\\\\\\\")
+    when(x.contains("'") && !x.contains("\""),
+      concat(lit("\""), esc, lit("\"")))
+      .otherwise(concat(lit("'"), regexp_replace(esc, "'", "\\\\'"), lit("'")))
+  }
+
   def exportCsv(df: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.types.{ArrayType, StructType, MapType}
     val cols = df.schema.fields.map { f =>
@@ -61,7 +75,7 @@ object Sources {
         case ArrayType(st: StructType, _)
             if st.fieldNames.sameElements(Array("term", "count")) =>
           concat(lit("["), array_join(transform(col(f.name), x =>
-            concat(lit("('"), x.getField("term"), lit("', "),
+            concat(lit("("), pyStrRepr(x.getField("term")), lit(", "),
               x.getField("count").cast("string"), lit(")"))), ", "),
             lit("]")).as(f.name)
         case _: ArrayType | _: StructType | _: MapType =>
@@ -70,6 +84,11 @@ object Sources {
       }
     }
     df.select(cols.toIndexedSeq: _*)
-      .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+      .coalesce(1).write.mode("overwrite").option("header", "true")
+      // pandas to_csv escapes an embedded quote by DOUBLING it
+      // (csv.QUOTE_MINIMAL); Spark's default backslash-escape diverged
+      // from the reference's byte layout for any cell containing '"'
+      .option("escape", "\"")
+      .csv(path)
   }
 }

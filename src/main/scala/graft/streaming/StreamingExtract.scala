@@ -31,21 +31,18 @@ object StreamingExtract {
       .as[PageRecord]
   }
 
-  /** Extract+score on the stream — same Extractor code as batch; word
-    * sets broadcast once per query, reused across micro-batches. */
+  /** Extract+score on the stream — literally the batch pipeline's
+    * scan-split path applied to a streaming Dataset (one implementation,
+    * two execution modes: a re-implemented copy here drifted from the
+    * batch wiring by design pressure alone — round-5 review). The
+    * numPartitions=0 path adds no repartition, so it is streaming-legal;
+    * word-set broadcasts happen once per query and are reused across
+    * micro-batches. */
   def scoredStream(
       pages: Dataset[PageRecord],
       targetWords: Set[String],
-      bycatchWords: Set[String]): Dataset[ScoredDoc] = {
-    val spark = pages.sparkSession
-    import spark.implicits._
-    val bcT = spark.sparkContext.broadcast(targetWords)
-    val bcB = spark.sparkContext.broadcast(bycatchWords)
-    pages.mapPartitions { it =>
-      val t = bcT.value; val b = bcB.value
-      it.map(p => Extractor.score(Extractor.extract(p), t, b))
-    }
-  }
+      bycatchWords: Set[String]): Dataset[ScoredDoc] =
+    graft.pipeline.ExtractPipeline.extractAndScore(pages, 0, targetWords, bycatchWords)
 
   /** Run to a parquet sink with checkpointed exactly-once file tracking.
     * `availableNow = true` drains everything currently in the directory
@@ -126,6 +123,15 @@ object StreamingExtract {
     // (title, url, ...): prefix them so the joined frame has no ambiguous
     // references (the batch API-field-remap analog, SURVEY.md §2 row 44)
     val clashes = snapshot.columns.toSet.intersect(left.columns.toSet) - "doi"
+    // the rename itself can collide (a snapshot built from a previous
+    // enrichStream output carries snapshot_-prefixed columns already);
+    // a silent duplicate column would throw AMBIGUOUS_REFERENCE at the
+    // first downstream select — fail loudly at plan time instead
+    clashes.foreach { c =>
+      require(!snapshot.columns.contains(s"snapshot_$c"),
+        s"snapshot has both '$c' and 'snapshot_$c': the clash rename would " +
+        "duplicate a column — rename one of them before enrichStream")
+    }
     val safe = clashes.foldLeft(snapshot)(
       (df, c) => df.withColumnRenamed(c, s"snapshot_$c"))
     left.join(broadcast(safe), Seq("doi"), "left")
@@ -153,7 +159,7 @@ object DomainState {
   import org.apache.spark.sql.{Dataset, DataFrame}
   import graft.model.PageRecord
 
-  private def update(
+  private def update(idleTimeout: String)(
       domain: String,
       rows: Iterator[(String, Long, java.sql.Timestamp)],
       state: GroupState[DomainAgg]): Iterator[DomainAgg] = {
@@ -172,7 +178,7 @@ object DomainState {
           last_ts = math.max(agg.last_ts, ts.getTime))
       }
       state.update(agg)
-      state.setTimeoutTimestamp(agg.last_ts, "1 hour")
+      state.setTimeoutTimestamp(agg.last_ts, idleTimeout)
       Iterator.single(agg)
     }
   }
@@ -181,8 +187,17 @@ object DomainState {
     * timestamp COLUMN must survive into the grouped Dataset (a typed map
     * to a bare tuple would drop the event-time metadata and event-time
     * timeout fails analysis), so the projection is columnar and the
-    * watermark is applied after it. */
-  def crawlLedger(pages: Dataset[PageRecord]): DataFrame = {
+    * watermark is applied after it.
+    *
+    * `delay` bounds the SAME two guarantees dedupStream documents, and
+    * the caller must size it the same way (round-5 review — it was a
+    * hardcoded hour): rows later than the in-effect watermark are
+    * silently excluded from the counts, and a domain idle past `delay`
+    * in event time is evicted (emitting its final snapshot) and restarts
+    * from zero on its next page — so consuming max(n_docs) per domain
+    * reads max(SEGMENT), not the domain total, once gaps exceed `delay`.
+    * State stays bounded by domains ACTIVE within the horizon. */
+  def crawlLedger(pages: Dataset[PageRecord], delay: String = "1 hour"): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages.toDF()
@@ -190,11 +205,11 @@ object DomainState {
         expr("parse_url(url, 'HOST')").as("domain"),
         expr("CAST(coalesce(length(html), 0) AS LONG)").as("n_bytes"),
         col("warc_ts"))
-      .withWatermark("warc_ts", "1 hour")
+      .withWatermark("warc_ts", delay)
       .as[(String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(update)
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(update(delay))
       .toDF()
   }
 }

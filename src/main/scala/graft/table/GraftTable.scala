@@ -102,7 +102,8 @@ object GraftTable {
       bycatchWords: Set[String],
       tasksPerWave: Int,
       attempt: Int = 1,
-      failAfterWaves: Int = Int.MaxValue): RunReport = {
+      failAfterWaves: Int = Int.MaxValue,
+      stageInput: Boolean = false): RunReport = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
 
@@ -158,6 +159,41 @@ object GraftTable {
     val pending = withBucket
       .join(broadcast(doneDf), Seq("bucket"), "left_anti")
 
+    // O(waves x input) defense (round-5 review): `pending.filter(bucket
+    // isin wave)` re-scans the ENTIRE input per wave, because bucket is
+    // a derived column no format pushdown can prune — at 4096 buckets /
+    // 8 per wave that is 512 full passes over the corpus. With
+    // `stageInput`, the bucketed projection is materialized ONCE under
+    // root/staged (partitioned by bucket) and each wave reads only its
+    // own bucket directories: one full read + one full write total, then
+    // per-wave I/O proportional to the wave. The stage is crash-safe: a
+    // _GRAFT_STAGED marker commits it; a partial stage (marker absent)
+    // is deleted and rebuilt on the next run. In production the input
+    // would already BE a table bucketed by url hash (the Iceberg layout
+    // the north rule names) and staging becomes a no-op to skip.
+    val stagedRoot = s"$root/staged"
+    if (stageInput) {
+      val marker = new org.apache.hadoop.fs.Path(s"$stagedRoot/_GRAFT_STAGED")
+      if (!hfs.exists(marker)) {
+        val stagedPath = new org.apache.hadoop.fs.Path(stagedRoot)
+        if (hfs.exists(stagedPath)) hfs.delete(stagedPath, true)
+        withBucket.write.partitionBy("bucket").parquet(stagedRoot)
+        hfs.create(marker, true).close()
+      }
+    }
+    def waveInput(wave: Seq[Int]): Dataset[PageRecordWithBucket] =
+      if (!stageInput)
+        pending.filter(col("bucket").isin(wave.map(Integer.valueOf): _*))
+          .as[PageRecordWithBucket]
+      else {
+        val dirs = wave.map(b => s"$stagedRoot/bucket=$b")
+          .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p)))
+        if (dirs.isEmpty) spark.emptyDataset[PageRecordWithBucket]
+        else spark.read.option("basePath", stagedRoot).parquet(dirs: _*)
+          .select("bucket", "url", "warc_ts", "html", "text", "lang")
+          .as[PageRecordWithBucket]
+      }
+
     val bcTarget = spark.sparkContext.broadcast(targetWords)
     val bcBycatch = spark.sparkContext.broadcast(bycatchWords)
     // live progress counters (the tqdm analog, SURVEY.md §2.8): updated by
@@ -186,9 +222,7 @@ object GraftTable {
         throw new RuntimeException(s"injected failure after $failAfterWaves waves")
       val waveT0 = System.currentTimeMillis()
       val waveSet = wave.toSet
-      val waveRows = pending
-        .filter(col("bucket").isin(wave.map(Integer.valueOf): _*))
-        .as[PageRecordWithBucket]
+      val waveRows = waveInput(wave)
 
       val scored = waveRows
         .repartition(tasksPerWave, col("bucket"), xxhash64(col("url"), lit(attempt.toLong)))
@@ -250,6 +284,24 @@ object GraftTable {
       waveIdx += 1
     }
 
+    // ---- catch-up snapshot (round-5 review) --------------------------
+    // A crash between a wave's lineage append and its writeSnapshot
+    // leaves committed data (lineage row present = data valid) that the
+    // manifest chain does not cover. Mid-table the NEXT wave's snapshot
+    // heals it (the cumulative file list carries every committed bucket
+    // forward) — but the FINAL wave has no next wave, so a resume that
+    // finds nothing to do would otherwise never snapshot it and
+    // readSnapshot(latest) would silently omit committed rows forever.
+    // manifestFiles already holds the full cumulative list at this point
+    // (done buckets listed at entry + every wave this run); write a
+    // catch-up snapshot whenever the latest manifest disagrees with it.
+    if (doneLineage.nonEmpty || processed > 0) {
+      val latest = latestSnapshot(hfs, root)
+      if (!latest.map(_._2).contains(manifestFiles.toSet))
+        writeSnapshot(hfs, root, waveIdx, Seq.empty, Seq.empty,
+          manifestFiles, cumulativeDocs = doneDocs + totalDocs)
+    }
+
     // report counts come from the DURABLE lineage rows, not the live
     // accumulators: task retries / speculative execution overcount
     // accumulators incremented inside a transformation, and the report is
@@ -273,14 +325,41 @@ object GraftTable {
         .map(n => s"bucket=$b/$n")
     }
 
+  /** Existing snapshot ids under root/manifest (empty when none). */
+  private def snapshotIds(
+      hfs: org.apache.hadoop.fs.FileSystem, root: String): Seq[Int] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/manifest")
+    if (!hfs.exists(dir)) Seq.empty
+    else hfs.listStatus(dir).toSeq.flatMap(st =>
+      "snapshot-(\\d+)\\.json".r.findFirstMatchIn(st.getPath.getName)
+        .map(_.group(1).toInt))
+  }
+
+  /** Latest snapshot id + its cumulative file manifest, if any. */
+  private def latestSnapshot(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[(Int, Set[String])] =
+    snapshotIds(hfs, root).maxOption.map { id =>
+      val json = readUtf8(hfs,
+        new org.apache.hadoop.fs.Path(s"$root/manifest/snapshot-$id.json"))
+      val files = "\"files\": \\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+        .map(_.group(1).split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      (id, files)
+    }
+
   private def writeSnapshot(
       hfs: org.apache.hadoop.fs.FileSystem,
       root: String, waveIdx: Int, buckets: Seq[Int], counts: Seq[(Int, Long)],
       cumulativeFiles: Seq[String], cumulativeDocs: Long): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$root/manifest")
     hfs.mkdirs(dir)
-    val existing = scala.util.Try(
-      hfs.listStatus(dir).count(_.getPath.getName.startsWith("snapshot-"))).getOrElse(0)
+    // max(id)+1, NOT count+1: with create(overwrite=true), a missing
+    // earlier snapshot (operator deletion, retention cleanup) would make
+    // count+1 silently clobber the newest existing snapshot and corrupt
+    // the monotone chain (round-5 review)
+    val existing = snapshotIds(hfs, root).maxOption.getOrElse(0)
     // the Iceberg-manifest analog: the CUMULATIVE data-file list valid at
     // this snapshot. Committed buckets are immutable from here on, so the
     // carried-forward listing stays the truth for this snapshot forever;

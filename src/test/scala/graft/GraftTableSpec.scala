@@ -57,6 +57,69 @@ class GraftTableSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("catch-up snapshot: final-wave lineage without its manifest heals on resume") {
+    // crash window: the LAST wave's lineage append committed but the
+    // process died before writeSnapshot — mid-table the next wave's
+    // cumulative manifest heals this, but the final wave has no next
+    // wave, so without the catch-up pass readSnapshot(latest) would
+    // omit committed rows forever (round-5 review). Simulated by
+    // deleting the newest snapshot json after a completed run.
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl_catchup").toString
+    val pages = ExtractPipeline.pages(spark, 120, 4)
+    val target = CorpusGen.TargetWords.toSet
+    val bycatch = CorpusGen.BycatchWords.toSet
+    GraftTable.runResumable(spark, pages, root, nBuckets = 8, bucketsPerWave = 2,
+      target, bycatch, tasksPerWave = 4)
+    val manifest = new java.io.File(s"$root/manifest")
+    val newest = manifest.list().filter(_.startsWith("snapshot-")).sorted.last
+    assert(new java.io.File(manifest, newest).delete())
+    val latestId = newest.stripPrefix("snapshot-").stripSuffix(".json").toInt
+
+    // no-op resume: nothing to process, but the manifest chain is behind
+    // the lineage — the catch-up snapshot must restore full coverage
+    val report = GraftTable.runResumable(spark, pages, root, nBuckets = 8,
+      bucketsPerWave = 2, target, bycatch, tasksPerWave = 4, attempt = 2)
+    assert(report.processed == 0)
+    val healed = GraftTable.readSnapshot(spark, root, latestId)
+    assert(healed.count() == 120,
+      s"catch-up snapshot must cover all committed rows, saw ${healed.count()}")
+
+    // a fully-covered table does NOT grow the chain on further resumes
+    val before = manifest.list().count(_.startsWith("snapshot-"))
+    GraftTable.runResumable(spark, pages, root, nBuckets = 8,
+      bucketsPerWave = 2, target, bycatch, tasksPerWave = 4, attempt = 3)
+    assert(manifest.list().count(_.startsWith("snapshot-")) == before)
+  }
+
+  test("staged input: per-wave bucket reads produce the same table and resume") {
+    // stageInput materializes the bucketed projection once and each wave
+    // reads only its own bucket dirs — the O(waves x input) full-scan
+    // defense (round-5 review). Same rows, same resume semantics.
+    val target = CorpusGen.TargetWords.toSet
+    val bycatch = CorpusGen.BycatchWords.toSet
+    val pages = ExtractPipeline.pages(spark, 160, 4)
+
+    val rootA = java.nio.file.Files.createTempDirectory("graft_tbl_unstaged").toString
+    GraftTable.runResumable(spark, pages, rootA, nBuckets = 8, bucketsPerWave = 2,
+      target, bycatch, tasksPerWave = 4)
+
+    val rootB = java.nio.file.Files.createTempDirectory("graft_tbl_staged").toString
+    intercept[RuntimeException] {
+      GraftTable.runResumable(spark, pages, rootB, nBuckets = 8, bucketsPerWave = 2,
+        target, bycatch, tasksPerWave = 4, failAfterWaves = 2, stageInput = true)
+    }
+    assert(new java.io.File(s"$rootB/staged/_GRAFT_STAGED").exists)
+    val report = GraftTable.runResumable(spark, pages, rootB, nBuckets = 8,
+      bucketsPerWave = 2, target, bycatch, tasksPerWave = 4, attempt = 2,
+      stageInput = true)
+    assert(report.processed == 4) // 8 buckets - 2 waves x 2 committed
+
+    def tbl(root: String) = spark.read.parquet(s"$root/data")
+      .select("url", "bucket", "total_word_count", "ok", "wordscore")
+      .collect().map(_.toSeq).toSet
+    assert(tbl(rootB) == tbl(rootA), "staged and unstaged tables differ")
+  }
+
   test("snapshot read: all-empty-bucket snapshot is an empty table, not an error") {
     // runResumable legitimately commits waves whose buckets hold zero pages
     // (it writes zero-row lineage for them); the snapshot then records

@@ -102,6 +102,23 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(back.columns.toSeq == Seq("url", "title", "doi", "matching_terms", "wordscore"))
   }
 
+  test("pyStrRepr matches CPython repr quote/escape rules (differential goldens)") {
+    import spark.implicits._
+    // expected strings printed by CPython repr() for these inputs
+    val cases = Seq(
+      "don't" -> "\"don't\"",
+      "say \"hi\"" -> "'say \"hi\"'",
+      "both' and \"q\"" -> "'both\\' and \"q\"'",
+      "back\\slash" -> "'back\\\\slash'",
+      "mix\\'d" -> "\"mix\\\\'d\"",
+      "plain" -> "'plain'")
+    val got = cases.map(_._1).toDF("s")
+      .select(Sources.pyStrRepr(col("s")).as("r")).as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"repr(<$in>): got <$g> want <$want>")
+    }
+  }
+
   test("JSON item access: get_json_object equals the regex path on props") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val both = events.selectExpr(
