@@ -33,6 +33,32 @@ class LintSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("no physical plan contains a cartesian/nested-loop join except q16's guarded baseline") {
+    // the scale-killer class: a BroadcastNestedLoopJoin or
+    // CartesianProduct anywhere but the deliberately-guarded brute-force
+    // ANN baseline means a join lost its equi-keys (often an aliasing or
+    // column-pruning regression) and the query melts at real sizes.
+    // PLANS.md audits this manually each round; this lint pins it.
+    // Skip q37 (needs its aux fixture written) — it is a binaryFile scan
+    // with no joins; the generated-input queries plan fine from sf0.001.
+    val exempt = Set("q16_ann_topk", "q37_pdf_dir_scan")
+    Queries.all.filter(_.oracle.isDefined)
+      .filterNot(q => exempt.contains(q.name)).foreach { q =>
+      // executedPlan under AQE prints Initial AND Final sections via
+      // toString on the wrapper; use the spark plan tree directly and
+      // walk node names instead of string-matching the full dump
+      val plan = q.fn(spark, sf).queryExecution.executedPlan
+      var bad = List.empty[String]
+      plan.foreach { node =>
+        val n = node.getClass.getSimpleName
+        if (n.contains("BroadcastNestedLoopJoin") || n.contains("CartesianProduct"))
+          bad ::= n
+      }
+      assert(bad.isEmpty,
+        s"${q.name}: scale-killer join operators ${bad.mkString(",")} in the physical plan")
+    }
+  }
+
   test("every persist in Queries.scala has a registered cache owner (source lint)") {
     val lines = scala.io.Source.fromFile(
       "src/main/scala/graft/queries/Queries.scala", "UTF-8").getLines().toVector
