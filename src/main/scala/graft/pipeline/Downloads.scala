@@ -52,7 +52,7 @@ object Downloads {
   def receipts(pages: Dataset[PageRecord], today: java.time.LocalDate): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val prefix = today.format(java.time.format.DateTimeFormatter.ofPattern("yyMMdd"))
+    val prefix = graft.sources.Sources.datePrefix(today)
     pages.map { p =>
       val ok = p.html != null && p.html.nonEmpty
       val kind = if (graft.pdf.PdfDoc.isPdf(p.html)) "pdf" else "html"
@@ -90,6 +90,10 @@ object Downloads {
     * above — shared by the pages path (imageReceipts) and the images MODE
     * (Modes.images), so the naming spec exists once. */
   def imageReceipt(pageUrl: String, imgUrl: String, prefix: String): DownloadReceipt = {
+    // faithful reference quirk (downloaders.py:306 `split(".")[-1]`):
+    // a suffix-less url yields a slash-bearing "extension" (e.g.
+    // "org/7/0") — the reference does the same, so the filepath matches
+    // its behavior rather than a sanitized ideal
     val ext = imgUrl.split('.').last
     val etag = md5hex(imgUrl).substring(0, 16)
     val fileId = Integer.parseInt(md5hex(pageUrl).substring(0, 2), 16) % 255 + 1
@@ -105,7 +109,7 @@ object Downloads {
   def imageReceipts(pages: Dataset[PageRecord], today: java.time.LocalDate): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val prefix = today.format(java.time.format.DateTimeFormatter.ofPattern("yyMMdd"))
+    val prefix = graft.sources.Sources.datePrefix(today)
     pages
       .filter(p => !graft.pdf.PdfDoc.isPdf(p.html))
       .map(p => imageReceipt(p.url, s"${p.url}/figures/0.png", prefix))

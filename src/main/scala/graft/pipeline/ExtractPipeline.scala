@@ -44,7 +44,9 @@ object ExtractPipeline {
   def heavyTailPages(spark: SparkSession, nDocs: Long, nPartitions: Int,
       share: Int = 97, multLo: Int = 50, multHi: Int = 100): Dataset[PageRecord] = {
     import spark.implicits._
-    spark.range(0, nDocs, 1, nPartitions).map { i =>
+    val parts = if (nPartitions > 0) nPartitions
+      else spark.sparkContext.defaultParallelism
+    spark.range(0, nDocs, 1, parts).map { i =>
       if (i % share == (share - 1)) {
         val mult = multLo + (graft.util.SplitMix.nonNeg(i) % (multHi - multLo + 1)).toInt
         CorpusGen.genHeavyPage(i, mult)
@@ -119,8 +121,15 @@ object ExtractPipeline {
     val e = extracted.toDF.select(
       col("url"), col("kind"), col("extracted_text").as("got"))
     val g = goldens.select(col("url"), col("extracted_text").as("want"))
-    e.join(g, Seq("url"), "inner")
-      .withColumn("matched", col("got") === col("want"))
-      .select("url", "kind", "matched")
+    // FULL OUTER on url (round-5 review): the inner join silently
+    // DROPPED rows the pipeline lost (a regression filter, a url
+    // collision) and goldens never extracted — exactly the failures this
+    // gate exists to catch. A one-sided url is matched=false with kind
+    // "missing", never an absent row, so q17's rollup shows the loss.
+    e.join(g, Seq("url"), "full_outer")
+      .withColumn("matched",
+        col("got").isNotNull && col("want").isNotNull && col("got") === col("want"))
+      .select(col("url"), coalesce(col("kind"), lit("missing")).as("kind"),
+        col("matched"))
   }
 }

@@ -63,6 +63,15 @@ object Modes {
     }
   }
 
+  /** Snapshot-join hint seam (round-5 review): the modes default to
+    * broadcasting caller-supplied snapshot tables — right for the
+    * reference-shaped lookup tables — but a production-size snapshot
+    * (the ~10^8-row metadata dump Enrichment.enrich's scaladoc warns
+    * about) must NOT be collected to the driver; pass
+    * broadcastSnapshots=false and AQE picks the join strategy. */
+  private def maybeBroadcast(df: DataFrame, hint: Boolean): DataFrame =
+    if (hint) broadcast(df) else df
+
   /** The universal post-stage tail (/root/reference/src/fetch.py:188-193):
     * drop all-empty columns, then downcast (int16 counts, datetime
     * coerce). The emptiness probe is an eager aggregate, so the input is
@@ -147,11 +156,13 @@ object Modes {
       dimensions: DataFrame,
       abstracts: DataFrame,
       targetWords: Set[String],
-      bycatchWords: Set[String]): DataFrame = {
+      bycatchWords: Set[String],
+      broadcastSnapshots: Boolean = true): DataFrame = {
     import spark.implicits._
     val enriched = Enrichment.enrich(
-        doiColumn(spark, csvPath), dimensions)
-      .join(broadcast(abstracts), Seq("internal_id"), "left")
+        doiColumn(spark, csvPath), dimensions,
+        broadcastSnapshot = broadcastSnapshots)
+      .join(maybeBroadcast(abstracts, broadcastSnapshots), Seq("internal_id"), "left")
       .select(
         col("doi"), col("journal_title"), col("internal_id"),
         col("times_cited").cast("long").as("times_cited"),
@@ -177,9 +188,10 @@ object Modes {
   def citations(
       spark: SparkSession,
       csvPath: String,
-      citationsSnapshot: DataFrame): DataFrame = {
+      citationsSnapshot: DataFrame,
+      broadcastSnapshots: Boolean = true): DataFrame = {
     val fetched = doiColumn(spark, csvPath)
-      .join(broadcast(citationsSnapshot), Seq("doi"), "left")
+      .join(maybeBroadcast(citationsSnapshot, broadcastSnapshots), Seq("doi"), "left")
     finish(Stagers.explodeWithSource(fetched, "title", "citation_spans"))
   }
 
@@ -195,7 +207,7 @@ object Modes {
       baseUrl: String,
       today: java.time.LocalDate): DataFrame = {
     import spark.implicits._
-    val prefix = today.format(java.time.format.DateTimeFormatter.ofPattern("yyMMdd"))
+    val prefix = graft.sources.Sources.datePrefix(today)
     doiColumn(spark, csvPath)
       .as[String]
       .map { doi =>
@@ -228,11 +240,12 @@ object Modes {
       spark: SparkSession,
       csvPath: String,
       figuresSnapshot: DataFrame,
-      today: java.time.LocalDate): DataFrame = {
+      today: java.time.LocalDate,
+      broadcastSnapshots: Boolean = true): DataFrame = {
     import spark.implicits._
-    val prefix = today.format(java.time.format.DateTimeFormatter.ofPattern("yyMMdd"))
+    val prefix = graft.sources.Sources.datePrefix(today)
     doiColumn(spark, csvPath)
-      .join(broadcast(figuresSnapshot), Seq("doi"), "left")
+      .join(maybeBroadcast(figuresSnapshot, broadcastSnapshots), Seq("doi"), "left")
       .select(col("doi"), explode_outer(col("figures")).as("img_url"))
       .as[(String, Option[String])]
       .map { case (doi, img) =>

@@ -196,6 +196,17 @@ object Queries {
   private object Q15Result {
     private var cached: Option[(SparkSession, String, DataFrame)] = None
     def get(s: SparkSession, dir: String)(build: => DataFrame): DataFrame = synchronized {
+      // drop an entry whose session is STOPPED before matching: the
+      // single cached tuple strongly pins the dead session's plan graph
+      // (a weak key cannot help here — the DataFrame itself references
+      // its session), so the bound is "one entry, evicted at the next
+      // q15/q25 call from anywhere" and this check enforces it even when
+      // the next caller is a different session + different dir
+      cached = cached.filter { case (ss, _, df) =>
+        val alive = !ss.sparkContext.isStopped
+        if (!alive) scala.util.Try(df.unpersist(false))
+        alive
+      }
       cached match {
         // storageLevel re-check (round-3 verdict "what's wrong" #2): a
         // `spark.catalog.clearCache()` between q15 and q25 unpersists the

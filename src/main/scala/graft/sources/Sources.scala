@@ -41,8 +41,15 @@ object Sources {
     * deterministic content hash (non-determinism there is incidental,
     * SURVEY.md §2.7 row 47). */
   def exportName(prefix: String, today: java.time.LocalDate): String =
-    today.format(java.time.format.DateTimeFormatter.ofPattern("yyMMdd")) +
-      s"_$prefix.csv"
+    datePrefix(today) + s"_$prefix.csv"
+
+  /** The reference's `strftime("%y%m%d")` dated prefix — ONE definition
+    * shared by exportName and every receipt-naming path (five hand
+    * copies of the pattern invited a silent naming fork between the
+    * mode path and the pages path q29's oracle assumes are identical —
+    * round-5 review). */
+  def datePrefix(today: java.time.LocalDate): String =
+    today.format(java.time.format.DateTimeFormatter.ofPattern("yyMMdd"))
 
   /** CSV export sink — the reference's `df.to_csv(..., index=False)`
     * (/root/reference/src/fetch.py:236-250). `coalesce(1)` reproduces the
