@@ -106,6 +106,25 @@ class ModesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("10.5555/nope").getAs[String]("journal_title") == "N/A")
   }
 
+  test("broadcastSnapshots=false omits the broadcast hint (production-size snapshots)") {
+    // the modes default to broadcast() on caller-supplied snapshots —
+    // right for reference-shaped lookups, fatal for a 10^8-row metadata
+    // dump (driver-side collect). The opt-out must strip the HINT from
+    // the logical plan so AQE picks the strategy from runtime stats.
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val snap = Seq(("10.5555/a", "Paper A", Seq("Cited 1")))
+      .toDF("doi", "title", "citation_spans")
+    val path = tmpFile("dois.csv", "doi\n10.5555/a\n")
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    assert(hints(Modes.citations(spark, path, snap)) >= 1,
+      "default path must carry the broadcast hint")
+    assert(hints(Modes.citations(spark, path, snap, broadcastSnapshots = false)) == 0,
+      "opt-out path must leave join strategy to the planner")
+    Modes.releaseCaches()
+  }
+
   test("citations mode: explode cited works carrying the source title") {
     import spark.implicits._
     val snap = Seq(
