@@ -493,21 +493,34 @@ object Entities {
     val sb = new StringBuilder(s.length)
     var i = 0
     val n = s.length
+    // numeric refs have NO spec length bound (zero-padded forms like
+    // &#x0001F600; are legal and real) — the 10-char window only caps the
+    // NAMED lookup; digit strings past Int/0x10FFFF are the HTML5
+    // out-of-range error (U+FFFD), not a literal passthrough
+    def parseCp(digits: String, radix: Int): Option[Int] =
+      if (digits.isEmpty || !digits.forall(Character.digit(_, radix) >= 0)) None
+      else scala.util.Try(java.lang.Long.parseLong(digits, radix)) match {
+        case scala.util.Success(v) if v <= 0x10FFFFL => Some(v.toInt)
+        case _ => Some(0x110000) // valid digits, out of range -> U+FFFD path
+      }
     while (i < n) {
       val c = s.charAt(i)
       if (c == '&') {
         val semi = s.indexOf(';', i + 1)
-        if (semi > i && semi - i <= 10) {
+        val isNum = semi > i + 1 && s.charAt(i + 1) == '#'
+        if (semi > i && (semi - i <= 10 || (isNum && semi - i <= 32))) {
           val body = s.substring(i + 1, semi)
-          if (body.startsWith("#x") || body.startsWith("#X")) {
-            try { sb.appendAll(numericRef(Integer.parseInt(body.substring(2), 16))); i = semi + 1 }
-            catch { case _: Exception => sb += c; i += 1 }
-          } else if (body.startsWith("#")) {
-            try { sb.appendAll(numericRef(Integer.parseInt(body.substring(1)))); i = semi + 1 }
-            catch { case _: Exception => sb += c; i += 1 }
-          } else Named.get(body) match {
-            case Some(rep) => sb.append(rep); i = semi + 1
-            case None      => sb += c; i += 1
+          val cp =
+            if (body.startsWith("#x") || body.startsWith("#X")) parseCp(body.substring(2), 16)
+            else if (body.startsWith("#")) parseCp(body.substring(1), 10)
+            else None
+          cp match {
+            case Some(v) => sb.appendAll(numericRef(v)); i = semi + 1
+            case None if !isNum => Named.get(body) match {
+              case Some(rep) => sb.append(rep); i = semi + 1
+              case None      => sb += c; i += 1
+            }
+            case None => sb += c; i += 1
           }
         } else { sb += c; i += 1 }
       } else { sb += c; i += 1 }

@@ -115,7 +115,11 @@ final class PdfDoc(data: Array[Byte]) {
               case _             => None
             }
             val end = len match {
-              case Some(l) if p + l <= data.length &&
+              // l >= 0: a corrupt negative /Length would make the
+              // substring below throw and the per-object catch would
+              // silently DROP the object instead of taking the
+              // endstream-scan fallback (round-5 review)
+              case Some(l) if l >= 0 && p + l <= data.length &&
                   s.indexOf("endstream", p + l) >= 0 &&
                   s.substring(p + l, math.min(p + l + 20, s.length)).trim.startsWith("endstream") =>
                 p + l

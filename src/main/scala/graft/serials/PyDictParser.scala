@@ -209,7 +209,18 @@ object PyDictParser {
     def ws(): Unit = while (!eof && peek.isWhitespace) i += 1
     private def expect(c: Char): Unit = if (next() != c) throw new ParseError
 
+    private var depth = 0
     def value(): PyVal = {
+      // recursion bound: a corrupt/adversarial cell like "{'a': " + "["*50k
+      // would otherwise StackOverflowError — an Error nothing on the udf
+      // path catches, killing the task (the sibling consumers of external
+      // bytes bound this: Extractor catches SOE, PdfDoc.resolve caps ref
+      // depth). 200 is far past any str(dict) export.
+      depth += 1
+      if (depth > 200) throw new ParseError
+      try valueInner() finally depth -= 1
+    }
+    private def valueInner(): PyVal = {
       ws()
       peek match {
         case '{'                               => dict()
@@ -257,16 +268,20 @@ object PyDictParser {
       val xs = scala.collection.mutable.ListBuffer.empty[PyVal]
       if (peek == close) { next(); return wrap(xs.toList) }
       var done = false
+      var sawComma = false
       while (!done) {
         xs += value()
         ws()
         next() match {
-          case ',' => ws(); if (peek == close) { next(); done = true }
+          case ',' => sawComma = true; ws(); if (peek == close) { next(); done = true }
           case `close` => done = true
           case _   => throw new ParseError
         }
       }
-      wrap(xs.toList)
+      // Python: parens with ONE element and no comma are a grouped
+      // expression, not a tuple — eval("(1)") is the bare scalar
+      if (isTuple && xs.length == 1 && !sawComma) xs.head
+      else wrap(xs.toList)
     }
 
     private def str(): String = {
@@ -291,7 +306,14 @@ object PyDictParser {
               case '"'  => sb += '"'
               case 'x'  => sb += hexEscape(2).toChar
               case 'u'  => sb += hexEscape(4).toChar
-              case 'U'  => sb.appendAll(Character.toChars(hexEscape(8)))
+              case 'U'  =>
+                // CPython: \U past 0x10FFFF is a SyntaxError (the cell
+                // stays opaque via literal_eval failure) — map to
+                // ParseError, never let Character.toChars throw an
+                // IllegalArgumentException through parse()'s None contract
+                val cp = hexEscape(8)
+                if (!Character.isValidCodePoint(cp)) throw new ParseError
+                sb.appendAll(Character.toChars(cp))
               case c if c >= '0' && c <= '7' =>
                 // octal, up to 3 digits including the first
                 var code = c - '0'
@@ -300,6 +322,8 @@ object PyDictParser {
                   code = code * 8 + (next() - '0'); k += 1
                 }
                 sb += code.toChar
+              case '\n' => () // backslash-newline = line continuation (removed)
+              case '\r' => if (!eof && peek == '\n') { next(); () } // CRLF continuation
               case c    => sb += '\\' += c // Python keeps unknown escapes
             }
           case c => sb += c

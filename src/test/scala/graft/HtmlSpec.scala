@@ -59,6 +59,16 @@ class HtmlSpec extends AnyFunSuite {
     assert(t == "café Über résumé αβ €9 ½ °C Ω", t)
   }
 
+  test("long/zero-padded numeric charrefs decode; out-of-range becomes U+FFFD (round-5 review)") {
+    val d = HtmlParser.parse(
+      "<body><p>&#x0001F600; &#128512; &#x12345678; &#99999999999999; &#x; &nosuchentity;</p></body>")
+    val t = Selectors.cssFirst(d, "p").get.normalizedText
+    // zero-padded hex and plain decimal both hit U+1F600; digit strings
+    // past 0x10FFFF (or past Long) are the HTML5 out-of-range error ->
+    // U+FFFD; empty digits and unknown names stay literal text
+    assert(t == "😀 😀 � � &#x; &nosuchentity;", t)
+  }
+
   test("title is RCDATA: entities decode; script/style stay raw") {
     val d = HtmlParser.parse(
       "<html><head><title>Fish &amp; Chips &#8211; Review</title></head><body><p>x</p></body></html>")

@@ -6,6 +6,29 @@ import graft.serials.PyDictParser._
 
 class PyDictParserSpec extends AnyFunSuite {
 
+  test("hostile cells degrade to None, never to a thrown Error (round-5 review)") {
+    // \U past 0x10FFFF: CPython raises SyntaxError -> the cell stays
+    // opaque; Character.toChars would have thrown IllegalArgumentException
+    // THROUGH parse()'s None contract and killed the Spark task
+    assert(PyDictParser.parse("{'a': '\\UFFFFFFFF'}").isEmpty)
+    assert(PyDictParser.parse("{'a': '\\U00110000'}").isEmpty)
+    // ...while the max legal code point still decodes
+    assert(PyDictParser.extractKey("{'a': '\\U0010FFFF'}", "a")
+      == new String(Character.toChars(0x10FFFF)))
+    // 50k-deep nesting: bounded recursion -> None, not StackOverflowError
+    val deep = "{'a': " + ("[" * 50000)
+    assert(PyDictParser.parse(deep).isEmpty)
+  }
+
+  test("CPython escape/grouping parity: line continuation and (1) (differential goldens)") {
+    // eval("'x\\\n y'") == 'x y' — backslash-newline is removed
+    assert(PyDictParser.extractKey("{'a': 'x\\\n y'}", "a") == "x y")
+    assert(PyDictParser.extractKey("{'a': 'x\\\r\n y'}", "a") == "x y")
+    // eval("(1)") == 1 (grouped expression), eval("(1,)") == (1,)
+    assert(PyDictParser.extractKey("{'k': (1)}", "k") == "1")
+    assert(PyDictParser.extractKey("{'k': (1,)}", "k") == "(1,)")
+  }
+
   test("single-quoted Python dict literal (the CSV fixture shape)") {
     // shape of /root/reference/tests/test_dirs/test_example_file_1.csv row 2
     val cell = "{'authors': 'I. Ron Butterfly', 'year': 1968, 'ok': True, 'missing': None}"
