@@ -741,7 +741,18 @@ object Queries {
 
   /** Checkpoint-resume lineage: run the resumable bucketed pipeline over a
     * fresh synthesized corpus and return the per-bucket lineage rows
-    * (north rule: per-partition lineage + metrics). */
+    * (north rule: per-partition lineage + metrics).
+    *
+    * Oracled in the q37 metadata-vs-data style: the committed data table's
+    * per-doc `(bucket, ok, n_bytes)` rows are dumped and DuckDB
+    * independently re-derives every lineage aggregate (n_docs/n_ok/n_err/
+    * bytes_in per bucket) from them, with the bucket universe generated as
+    * 0..7 so a zero-row bucket's synthetic lineage row is covered too. The
+    * oracle emits attempt = 1 as a literal: this is a fresh single-attempt
+    * run, so any resume-machinery regression that stamps a different
+    * attempt (or double-appends a wave's lineage) becomes a hash/row
+    * mismatch. The resume/kill/crash-atomicity semantics themselves stay
+    * pinned in GraftTableSpec — they are genuinely non-SQL. */
   private val q19 = Q(
     "q19_resume_lineage",
     (s, _) => {
@@ -752,11 +763,19 @@ object Queries {
           nBuckets = 8, bucketsPerWave = 4,
           CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet,
           tasksPerWave = 8)
+        // the dump must happen before the finally-block deletes root; it
+        // reads the same committed files the lineage metrics were computed
+        // from, but the AGGREGATION is re-done from scratch in DuckDB
+        auxDump(
+          s.read.parquet(s"$root/data").selectExpr(
+            "CAST(bucket AS BIGINT) AS bucket", "ok", "n_bytes"),
+          "q19_docs")
         // lineage is one row per bucket — pull it local so the temp table
         // can be deleted eagerly (repeated bench/verify runs must not leak
         // disk); this is bounded metadata, not a data collect
         val lineage = s.read.parquet(s"$root/lineage")
-          .selectExpr("bucket", "n_docs", "n_ok", "n_err", "bytes_in", "attempt")
+          .selectExpr("CAST(bucket AS BIGINT) AS bucket", "n_docs", "n_ok",
+            "n_err", "bytes_in", "CAST(attempt AS BIGINT) AS attempt")
         val schema = lineage.schema
         val rows = lineage.collect().toSeq
         import scala.jdk.CollectionConverters._
@@ -769,7 +788,22 @@ object Queries {
         rm(new java.io.File(root))
       }
     },
-    None)
+    Some(s"""WITH d AS (SELECT bucket, ok, n_bytes
+        FROM read_parquet('$AuxDir/q19_docs/*.parquet')),
+      u AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS bucket),
+      a AS (SELECT bucket,
+          count(*) AS n_docs,
+          sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_ok,
+          sum(CASE WHEN ok THEN 0 ELSE 1 END) AS n_err,
+          sum(n_bytes) AS bytes_in
+        FROM d GROUP BY bucket)
+      SELECT u.bucket,
+        CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs,
+        CAST(COALESCE(a.n_ok, 0) AS BIGINT) AS n_ok,
+        CAST(COALESCE(a.n_err, 0) AS BIGINT) AS n_err,
+        CAST(COALESCE(a.bytes_in, 0) AS BIGINT) AS bytes_in,
+        CAST(1 AS BIGINT) AS attempt
+      FROM u LEFT JOIN a ON u.bucket = a.bucket"""))
 
   /** Multimodal binary-column stage over the synthesized corpus (decode
     * is a clearly-marked stub; plumbing is real — see

@@ -17,11 +17,18 @@ class LintSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // q19 is oracled (round 5) but its fn executes the whole resumable
+  // pipeline EAGERLY and returns a localized lineage frame — there is no
+  // lazy plan to lint (and producing it costs a full pipeline run);
+  // GraftTableSpec owns its join/shuffle discipline
+  private val eagerlyLocalized = Set("q19_resume_lineage")
+
   test("no analyzed plan contains a trivially-true self-equality (join aliasing lint)") {
-    // the oracled queries cover every join in the suite; the 4 non-SQL
-    // ops (q17/q19/q27/q40) run whole pipelines eagerly and join nothing
+    // the oracled queries cover every join in the suite; the non-SQL
+    // ops (q17/q27-core/q40) run whole pipelines eagerly and join nothing
     // the oracled set doesn't
-    Queries.all.filter(_.oracle.isDefined).foreach { q =>
+    Queries.all.filter(_.oracle.isDefined)
+      .filterNot(q => eagerlyLocalized.contains(q.name)).foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.analyzed
       plan.foreach { node =>
         node.expressions.foreach(_.foreach {
@@ -41,7 +48,7 @@ class LintSpec extends AnyFunSuite with SparkTestBase {
     // PLANS.md audits this manually each round; this lint pins it.
     // Skip q37 (needs its aux fixture written) — it is a binaryFile scan
     // with no joins; the generated-input queries plan fine from sf0.001.
-    val exempt = Set("q16_ann_topk", "q37_pdf_dir_scan")
+    val exempt = Set("q16_ann_topk", "q37_pdf_dir_scan") ++ eagerlyLocalized
     Queries.all.filter(_.oracle.isDefined)
       .filterNot(q => exempt.contains(q.name)).foreach { q =>
       // executedPlan under AQE prints Initial AND Final sections via

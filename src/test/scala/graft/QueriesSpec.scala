@@ -76,12 +76,12 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
 
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Queries.all.count(_.oracle.isDefined)
-    // 40 queries, 38 oracled; q17/q19 are the genuinely non-SQL
-    // end-to-end pipelines (byte-identical extraction, resume lineage),
-    // each pinned by sbt goldens instead. q27/q40 gained dump-re-derive
-    // oracles in round 5 (plumbing green rows; their non-SQL cores stay
-    // law-pinned in WinnowingSpec/StreamingSpec).
-    assert(withOracle == 38)
+    // 40 queries, 39 oracled; q17 is the one genuinely non-SQL
+    // end-to-end pipeline (byte-identical extraction), pinned by sbt
+    // goldens instead. q27/q40 gained dump-re-derive oracles in round 5,
+    // q19 re-derives its lineage aggregates from the dumped data table
+    // (resume/crash semantics stay law-pinned in GraftTableSpec).
+    assert(withOracle == 39)
     // no duplicate query names (the Map would silently collapse them and
     // the driver would lose a query)
     assert(SparkEntry.queries.size == Queries.all.size)
