@@ -21,25 +21,39 @@ object Identifiers {
   // CRLF-terminated id would match here where the reference returns None.
   private val Flags = Pattern.UNICODE_CHARACTER_CLASS | Pattern.UNIX_LINES
 
+  // The flags alone do NOT close the whitespace gap: Python's \s
+  // (Py_UNICODE_ISSPACE) = Unicode White_Space PLUS the four information
+  // separators U+001C–001F, which Java's \p{IsWhite_Space} excludes —
+  // and those chars do occur in PDF-extracted text. Every \s in this
+  // file's patterns sits INSIDE a character class, so appending the
+  // separator range to each class makes the two engines' sets equal
+  // (empirically: '10.1234/abcmore' extracts in the reference but
+  // failed here before this rewrite; parity pinned in IdentifiersSpec).
+  private def withPySpace(re: String): String =
+    re.replace("""\s""", """\s\x1c-\x1f""")
+
+  private def pyPattern(re: String): Pattern =
+    Pattern.compile(withPySpace(re), Flags)
+
   private val DoiPatterns: List[Pattern] = List(
-    Pattern.compile("doi[\\s.:]{0,2}(10\\.\\d{4}[\\d:.\\-/a-z]+)(?:[\\s\\n\"<]|$)", Flags),
-    Pattern.compile("(10\\.\\d{4}[\\d:.\\-/a-z]+)(?:[\\s\\n\"<]|$)", Flags),
-    Pattern.compile("(10\\.\\d{4}[:.\\-/a-z]+[:.\\-\\d]+)(?:[\\s\\na-z\"<]|$)", Flags),
-    Pattern.compile("https?://[ -~]*doi[ -~]*/(10\\.\\d{4,9}/[-._;()/:a-z0-9]+)(?:[\\s\\n\"<]|$)", Flags),
-    Pattern.compile("^(10\\.\\d{4,9}/[-._;()/:a-z0-9]+)$", Flags)
+    pyPattern("doi[\\s.:]{0,2}(10\\.\\d{4}[\\d:.\\-/a-z]+)(?:[\\s\\n\"<]|$)"),
+    pyPattern("(10\\.\\d{4}[\\d:.\\-/a-z]+)(?:[\\s\\n\"<]|$)"),
+    pyPattern("(10\\.\\d{4}[:.\\-/a-z]+[:.\\-\\d]+)(?:[\\s\\na-z\"<]|$)"),
+    pyPattern("https?://[ -~]*doi[ -~]*/(10\\.\\d{4,9}/[-._;()/:a-z0-9]+)(?:[\\s\\n\"<]|$)"),
+    pyPattern("^(10\\.\\d{4,9}/[-._;()/:a-z0-9]+)$")
   )
 
   private val ArxivPatterns: List[Pattern] = List(
-    Pattern.compile("^(\\d{4}\\.\\d+)(?:v\\d+)?$", Flags),
-    Pattern.compile("arxiv[\\s]*:[\\s]*(\\d{4}\\.\\d+)(?:v\\d+)?(?:[\\s\\n\"<]|$)", Flags),
-    Pattern.compile("(\\d{4}\\.\\d+)(?:v\\d+)?(?:\\.pdf)", Flags),
-    Pattern.compile("^(\\d{4}\\.\\d+)(?:v\\d+)?$", Flags)
+    pyPattern("^(\\d{4}\\.\\d+)(?:v\\d+)?$"),
+    pyPattern("arxiv[\\s]*:[\\s]*(\\d{4}\\.\\d+)(?:v\\d+)?(?:[\\s\\n\"<]|$)"),
+    pyPattern("(\\d{4}\\.\\d+)(?:v\\d+)?(?:\\.pdf)"),
+    pyPattern("^(\\d{4}\\.\\d+)(?:v\\d+)?$")
   )
 
   // --- normalizers (doi_regex.py:21-45) -----------------------------------
   // (?xmdU): COMMENTS + MULTILINE as in the reference's verbose pattern,
   // plus UNIX_LINES (d) and UNICODE_CHARACTER_CLASS (U) for Python parity.
-  private val DoiRegex = Pattern.compile(
+  private val DoiRegex = Pattern.compile(withPySpace(
     """(?xmdU)
       (?<marker>   doi[:/\s]{0,3})?
       (?<prefix>
@@ -50,15 +64,15 @@ object Identifiers {
       (?<sep>      [:\-/\s\]])
       (?<suffix>   [\-._;()/:a-z0-9]+[a-z0-9])
       (?<trailing> ([\s\n"<.]|$))
-    """)
+    """))
 
-  private val ArxivRegex = Pattern.compile(
+  private val ArxivRegex = Pattern.compile(withPySpace(
     """(?xidU)
       (?<marker>arxiv[:/\s]{0,3})?
       (?<identifier>\d{4}\.\d+)
       (?:v\d+)?
       (?<trailing>\.pdf)?$
-    """)
+    """))
 
   /** Canonicalize a raw DOI-ish string to `10.{registrant}/{suffix}` or a
     * bare arXiv id; None when the normalizer finds no match.

@@ -30,14 +30,23 @@ object QueryStrings {
     * the reference's pubtype-as-its-own-key quirk (the mapped publication
     * type string is used as BOTH key and value, so "all" contributes an
     * empty-string key). */
+  /** reference webscrapers.py:102-109. Lives here (not in
+    * pipeline.Scholar) so ids stays a leaf package: pipeline already
+    * depends on ids, and the mapping's golden-tested consumer is this
+    * builder. */
+  val PublicationTypeMapping: Map[String, String] = Map(
+    "all" -> "",
+    "j" -> "source: journals",
+    "b" -> "source: books",
+    "c" -> "source: conferences")
+
   def scholar(
       searchText: String,
       startYear: Int,
       endYear: Int,
       publicationType: String,
       page: Int): Map[String, String] = {
-    val pt = graft.pipeline.Scholar.PublicationTypeMapping
-      .getOrElse(publicationType, "")
+    val pt = PublicationTypeMapping.getOrElse(publicationType, "")
     Map(
       "q" -> searchText,
       "as_ylo" -> startYear.toString,

@@ -28,12 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object Scholar {
 
-  /** reference webscrapers.py:102-109. */
-  val PublicationTypeMapping: Map[String, String] = Map(
-    "all" -> "",
-    "j" -> "source: journals",
-    "b" -> "source: books",
-    "c" -> "source: conferences")
+  /** reference webscrapers.py:102-109 — canonical copy lives with its
+    * golden-tested consumer in [[graft.ids.QueryStrings]] (keeps ids a
+    * leaf package); forwarded here for pipeline-side callers. */
+  def PublicationTypeMapping: Map[String, String] =
+    graft.ids.QueryStrings.PublicationTypeMapping
 
   /** reference webscrapers.py:112 — Python FLOOR division: Scala's `/`
     * truncates toward zero, which would turn num_articles = 0 into one
