@@ -68,7 +68,7 @@ object Bench {
     val warmDocs = 4000L
 
     // ---- phase 1: query suite at `cpus` ------------------------------
-    var spark = session(cpus)
+    val spark = session(cpus)
     // untimed warmup: JIT the SQL/codegen/parquet stack so the first
     // timed query doesn't carry interpreter cost
     try SparkEntry.queries("q01_pricing_agg")(spark, sfDir).count()
@@ -97,10 +97,7 @@ object Bench {
     // repeated canonical runs would otherwise leak ~150+ MB of parquet
     // into /tmp per run until the disk fills
     sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(tmp.toFile)
+      graft.util.Fs.deleteRecursively(tmp.toFile)
     }
     val pagesPath = tmp.resolve("pages").toString
     val warmPath = tmp.resolve("warm").toString
@@ -367,23 +364,22 @@ object Bench {
     val docsPerSec = nDocs / tHiAtCpus
     val efficiency = ratios(medianIdx) / (cpusHi.toDouble / cpusLo)
 
-    def f(d: Double): String = fmt(d)
-    val qs = queryTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val qs = queryTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     val failed = failedQueries.map(n => s""""$n"""").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"extract_docs_per_sec","value":${f(docsPerSec)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir"""" +
+      s"""{"metric":"extract_docs_per_sec","value":${fmt(docsPerSec)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir"""" +
       s""","failed_queries":$failed""" +
-      s""","queries_total_sec":${f(total)},"extract_docs":$nDocs,"extract_ok":$okHi,"extract_sec":${f(tHiAtCpus)}""" +
+      s""","queries_total_sec":${fmt(total)},"extract_docs":$nDocs,"extract_ok":$okHi,"extract_sec":${fmt(tHiAtCpus)}""" +
       s""","task_ms_median":$medianTaskMs,"task_ms_max":$maxTaskMs""" +
-      s""","headline":{"mode":"$headlineMode","runs_sec":${headlineRuns.map(f).mkString("[", ",", "]")}""" +
+      s""","headline":{"mode":"$headlineMode","runs_sec":${headlineRuns.map(fmt).mkString("[", ",", "]")}""" +
       s""","gc_ms":${headlineGc.mkString("[", ",", "]")}""" +
       s""","task_ms_median":${headlineTaskMed.mkString("[", ",", "]")}""" +
       s""","task_ms_max":${headlineTaskMax.mkString("[", ",", "]")}""" +
       s""","cpu_ms":${headlineCpu.mkString("[", ",", "]")}""" +
-      s""","parent_sec":${f(parentSec)},"parent_gc_ms":$parentGcMs,"parent_cpu_ms":$parentCpuMs}""" +
-      s""","skew_evidence":{"docs":$skewDocs,"hot_domain_share":${f(CorpusGen.HotDomainShare / 10.0)},"domain_partitioned":${domainLeg.json},"salted":${saltedLeg.json},"heavy_tail":{"docs":$heavyDocs,"heavy_share":${fmt(1.0 / heavyShare)},"mult_range":[$heavyMultLo,$heavyMultHi],"leg":${heavyLeg.json}}}""" +
-      s""","scaling":{"cpus_lo":$cpusLo,"sec_lo":${f(tLo)},"cpus_hi":$cpusHi,"sec_hi":${f(tHi)},"efficiency":${f(efficiency)},"fallback_legs":$fallbackLegs,"escalated":$escalated,"pair_ratios":${pairs.map { case (lo, hi) => f(lo.sec / hi.sec) }.mkString("[", ",", "]")},"pairs":${pairs.map { case (lo, hi) => s"""{"lo":${lo.json},"hi":${hi.json}}""" }.mkString("[", ",", "]")}}}"""
+      s""","parent_sec":${fmt(parentSec)},"parent_gc_ms":$parentGcMs,"parent_cpu_ms":$parentCpuMs}""" +
+      s""","skew_evidence":{"docs":$skewDocs,"hot_domain_share":${fmt(CorpusGen.HotDomainShare / 10.0)},"domain_partitioned":${domainLeg.json},"salted":${saltedLeg.json},"heavy_tail":{"docs":$heavyDocs,"heavy_share":${fmt(1.0 / heavyShare)},"mult_range":[$heavyMultLo,$heavyMultHi],"leg":${heavyLeg.json}}}""" +
+      s""","scaling":{"cpus_lo":$cpusLo,"sec_lo":${fmt(tLo)},"cpus_hi":$cpusHi,"sec_hi":${fmt(tHi)},"efficiency":${fmt(efficiency)},"fallback_legs":$fallbackLegs,"escalated":$escalated,"pair_ratios":${pairs.map { case (lo, hi) => fmt(lo.sec / hi.sec) }.mkString("[", ",", "]")},"pairs":${pairs.map { case (lo, hi) => s"""{"lo":${lo.json},"hi":${hi.json}}""" }.mkString("[", ",", "]")}}}"""
     println(line)
     // belt-and-braces: also land the metric line in a file so the bench
     // signal stays machine-readable even if a log wrapper prefixes stdout

@@ -196,7 +196,14 @@ object Main {
         val s = spark
         s.sparkContext.setLogLevel(if (args.debug) "INFO" else "WARN")
         try {
-          val out = run(s, args, today)
+          // run()/snapshot() validate user input via require (missing -f,
+          // missing --snapshots, absent snapshot table): those are CLI
+          // usage errors, and must take the same clean error+usage+exit-2
+          // path as flag parse errors — not a raw stack trace
+          val out =
+            try run(s, args, today)
+            catch { case e: IllegalArgumentException =>
+              return Left(e.getMessage.stripPrefix("requirement failed: ")) }
           val n = out.count()
           val exportLine =
             if (args.export) {

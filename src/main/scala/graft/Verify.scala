@@ -18,18 +18,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
         // a failed query must not leave a STALE dump from a previous run
         // in place — the driver would compare old results and mask the
         // regression as a pass
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(s"$outDir/$name"))
+        graft.util.Fs.deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,5 +47,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // rows-only queries (no oracle SQL) have no downstream check that
+    // would notice a missing dump — compare_oracle iterates only the
+    // oracle keys — so Verify itself must fail loudly or a q17-class
+    // regression sails through the whole recipe green
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] FAILED queries: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

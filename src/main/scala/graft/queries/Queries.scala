@@ -782,10 +782,7 @@ object Queries {
         s.createDataFrame(rows.asJava, schema)
       } finally {
         // cleanup must also run when the pipeline or the read throws
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(root))
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
       }
     },
     Some(s"""WITH d AS (SELECT bucket, ok, n_bytes

@@ -117,6 +117,13 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
     val args = Main.parse(Seq("-m", "citations", "-f", csv.toString)).toOption.get
     val e = intercept[IllegalArgumentException](Main.run(spark, args, today))
     assert(e.getMessage.contains("--snapshots") && e.getMessage.contains("citations.parquet"))
+    // through execute (= main's path) the same usage error takes the
+    // CLEAN Left route — error + usage + exit 2, like argparse — instead
+    // of escaping as a stack trace
+    val res = Main.execute(Seq("-m", "citations", "-f", csv.toString), spark, today)
+    assert(res.isLeft)
+    assert(res.swap.toOption.get.contains("--snapshots"))
+    assert(!res.swap.toOption.get.startsWith("requirement failed"))
   }
 
   test("download mode through the CLI's offline page seam yields receipts") {

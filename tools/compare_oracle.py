@@ -1,8 +1,9 @@
 import duckdb, json, glob, sys
 import pandas as pd
 
-sf = '/root/testdata/sf0.01'
-out = '/tmp/verify_out'
+# keep in lockstep with the Verify invocation: compare_oracle.py [SF_DIR] [OUT_DIR]
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
