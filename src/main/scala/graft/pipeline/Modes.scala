@@ -149,7 +149,13 @@ object Modes {
     * csv doi column → Dimensions lookup → abstract lookup by internal_id
     * (the `docs[0].abstract` JSON path, webscrapers.py:73-80) → score the
     * returned abstract. Enrichment fields and score ride in ONE row pass
-    * (SURVEY.md §2.3 row 20's one-pass shape), not a positional re-join. */
+    * (SURVEY.md §2.3 row 20's one-pass shape), not a positional re-join.
+    * Abstract-lookup misses are staged as the literal string "N/A" —
+    * the reference's stage_from_series runs the staged column through
+    * list_with_na_replacement (fillna("N/A"),
+    * /root/reference/src/stagers.py:20 + serials.py:89-106), so the
+    * SCORED text for a miss is "N/A" (1 token, 0 matches), matching
+    * the Enrichment layer's export fill for the same channel. */
   def wordscore(
       spark: SparkSession,
       csvPath: String,
@@ -168,7 +174,7 @@ object Modes {
         col("times_cited").cast("long").as("times_cited"),
         coalesce(
           get_json_object(col("abstract_json"), "$.docs[0].abstract"),
-          lit("")).as("abstract_text"))
+          lit("N/A")).as("abstract_text"))
       .as[(String, String, String, Option[Long], String)]
     enriched.map { case (doi, journal, internal, cited, abs) =>
         val s = scoreText(abs, targetWords, bycatchWords)
@@ -258,7 +264,15 @@ object Modes {
 
   /** `-m fastscore` (factories.py:101 — abstract_lookup, no stager): csv
     * abstract column scored directly, title column attached in the same
-    * row pass (the title_serializer attach, factories.py:44-52). */
+    * row pass (the title_serializer attach, factories.py:44-52).
+    * Empty/missing cells become the literal "N/A" in BOTH columns:
+    * both serializers are serialize_from_csv, whose pandas read turns
+    * an empty cell into NaN and list_with_na_replacement fills it
+    * (/root/reference/src/serials.py:26-44,89-106 — verified by
+    * executing the reference on a blank-bearing CSV). The scored text
+    * for an empty abstract is therefore "N/A": 1 token, 0 matches —
+    * the same counts "" would give under Python split semantics, so
+    * only the text columns (not the scores) differ from an "" fill. */
   def fastscore(
       spark: SparkSession,
       csvPath: String,
@@ -267,8 +281,8 @@ object Modes {
     import spark.implicits._
     spark.read.option("header", "true").csv(csvPath)
       .select(
-        coalesce(col("title").cast("string"), lit("")).as("title"),
-        coalesce(col("abstract").cast("string"), lit("")).as("abstract"))
+        coalesce(col("title").cast("string"), lit("N/A")).as("title"),
+        coalesce(col("abstract").cast("string"), lit("N/A")).as("abstract"))
       .as[(String, String)]
       .map { case (title, abs) =>
         val s = scoreText(abs, targetWords, bycatchWords)

@@ -69,6 +69,12 @@ class ModesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("T0").getAs[Number]("total_word_count").intValue == 4)
     assert(rows("T0").getAs[Float]("wordscore") == e0.wordscore)
     assert(rows("T2").getAs[Number]("matching_terms").intValue == 0)
+    // empty cell -> pandas NaN -> fillna("N/A") (serials.py:89-106,
+    // verified by executing serialize_from_csv on a blank-bearing CSV):
+    // the literal "N/A" is both the stored text and the scored input
+    assert(rows("T1").getAs[String]("abstract_text") == "N/A")
+    assert(rows("T1").getAs[Number]("total_word_count").intValue == 1)
+    assert(rows("T1").getAs[Number]("matching_terms").intValue == 0)
   }
 
   test("wordscore mode: doi csv -> Dimensions -> abstract JSON path -> score") {
@@ -84,7 +90,10 @@ class ModesSpec extends AnyFunSuite with SparkTestBase {
     assert(hit.getAs[String]("abstract_text") == "Abstract body for 0")
     assert(hit.getAs[Number]("matching_terms").intValue == 2) // abstract + body
     assert(hit.getAs[Number]("total_word_count").intValue == 4)
-    assert(rows("10.5555/d6").getAs[String]("abstract_text") == "")
+    // abstract-lookup miss is staged as the literal "N/A" before scoring
+    // (stage_from_series -> list_with_na_replacement, stagers.py:20 +
+    // serials.py:106) — the same fill EnrichmentSpec pins for this channel
+    assert(rows("10.5555/d6").getAs[String]("abstract_text") == "N/A")
     assert(rows("10.5555/nope").getAs[String]("journal_title") == "N/A")
   }
 

@@ -24,6 +24,17 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     run("q16_ann_topk").filter("rnk = 1").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  // ONE copy of the e3-quantize + integer-cosine arithmetic the ANN
+  // queries share (q16/q34 tests both recompute "exact" neighbors with
+  // it; divergent copies would make their recall assertions disagree
+  // for reasons that look like an ANN regression)
+  private def quantizeE3(v: Array[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong)
+  private def intCos(a: Array[Long], b: Array[Long]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+  }
+
   test("every query executes and returns rows on sf0.001") {
     Queries.all.foreach { q =>
       val n = q.fn(spark, sf).count()
@@ -105,15 +116,10 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     // fraction the query's cell join actually touches
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) ->
-        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong).toArray)
-    def cos(a: Array[Long], b: Array[Long]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
-    }
+      .map(r => r.getLong(0) -> quantizeE3(r.getSeq[Float](1).toArray))
     val cents = vecs.filter(_._1 < 16)
     def ranked(v: Array[Long]) =
-      cents.map { case (cid, cv) => (cid, cos(v, cv)) }.sortBy { case (c, s) => (-s, c) }
+      cents.map { case (cid, cv) => (cid, intCos(v, cv)) }.sortBy { case (c, s) => (-s, c) }
     val cellOf = vecs.map { case (id, v) => id -> ranked(v).head._1 }.toMap
     val cellPop = cellOf.values.groupBy(identity).view.mapValues(_.size).toMap
     val probeCand = vecs.filter(_._1 < 100).map { case (id, v) =>
@@ -159,18 +165,12 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    def q(v: Array[Float]): Array[Long] =
-      v.map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong)
-    def cos(a: Array[Long], b: Array[Long]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
-    }
     val top1 = exactTop1
     assert(top1.nonEmpty)
     top1.foreach { case (probe, neighbor) =>
-      val pv = q(vecs(probe))
+      val pv = quantizeE3(vecs(probe))
       val best = vecs.filter(_._1 != probe)
-        .map { case (id, v) => (id, cos(pv, q(v))) }
+        .map { case (id, v) => (id, intCos(pv, quantizeE3(v))) }
         .maxBy { case (id, c) => (c, -id) } // tie-break: smaller id wins
       assert(neighbor == best._1, s"probe $probe: got $neighbor want ${best._1}")
     }
