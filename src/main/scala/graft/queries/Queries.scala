@@ -128,7 +128,29 @@ object Queries {
       (0 until nTables).map(t => s"SELECT $idCol, $t AS tbl, b$t AS bucket FROM qq").mkString(" UNION ALL ")
   }
   private val SrpAnn = new SrpLsh(8, 4)      // q24
-  private val SrpNearDup = new SrpLsh(8, 16) // q26
+  private val SrpNearDup = new SrpLsh(8, 16) // q26 at oracle scales
+
+  /** SRP code length for q26 as a function of corpus size — the code
+    * length is a SCALE parameter (BASELINE.md r3: 4-bit tables passed
+    * every fixture test and went quadratic at 40k vectors). With FIXED
+    * bits the chance-candidate count grows as tables*n^2/2^bits — the
+    * x100 ScaleBench tier puts that near 10M pairs for 16-bit codes at
+    * 400k rows. Growing bits with log2(n) (2^bits >= 2n) bounds expected
+    * chance candidates per row at ~tables/2, restoring ~linear growth;
+    * recall for the cos>=0.995 near-dup band stays high because target
+    * pairs agree on almost every hyperplane (P(bit flip) = theta/pi ~
+    * 0.032, so a 20-bit table still collides with p ~ 0.52 and eight
+    * OR-ed tables miss with p ~ 0.003). Every oracle-checked sf dir
+    * (<= 2k vectors) resolves to EXACTLY 16 bits, where the Spark
+    * fragments are byte-identical to the static 16-bit SQL the oracle
+    * re-derives; instances are memoized (the weight tables hash a few
+    * thousand MD5s). */
+  private val srpCache = new java.util.concurrent.ConcurrentHashMap[Int, SrpLsh]()
+  private def srpNearDupFor(nAugRows: Long): SrpLsh = {
+    var bits = 16
+    while ((1L << bits) < 2L * nAugRows && bits < 40) bits += 1
+    srpCache.computeIfAbsent(bits, b => new SrpLsh(8, b))
+  }
 
   /** Bounded per-query cache of persisted INTERMEDIATES: a re-invocation
     * (repeated bench sweeps) unpersists the previous generation, so at
@@ -548,6 +570,25 @@ object Queries {
       "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) " +
       "ELSE CAST([] AS VARCHAR[]) END"
 
+  /** Hot-bucket cap for the LSH candidate join (a SCALE parameter, like
+    * the SRP code lengths): buckets collecting more than this many rows
+    * switch from all-pairs (quadratic in bucket size) to star-linking
+    * every member to the bucket's min-id representative (linear). With a
+    * bounded shingle space the per-lane minhash minima concentrate on the
+    * globally-smallest shingle hashes, so hot buckets grow LINEARLY with
+    * the corpus and all-pairs inside them grows QUADRATICALLY — measured
+    * at the x100 ScaleBench tier: 8.4M candidate pairs of which 93% were
+    * chance collisions from ~600-member buckets, 8x wall for 3.3x data.
+    * Capping at 32 kept planted-mutant recall at 99.964% vs 99.96%
+    * uncapped (the 4-band miss rate dominates) while returning candidate
+    * growth to ~linear; star edges keep oversized TRUE near-dup clusters
+    * connected for q25's grouping because every member still links to the
+    * representative it is near-duplicate with (confirm re-checks jaccard,
+    * so chance-hot buckets contribute only n-1 cheap rejected pairs).
+    * Real web corpora hit the same degeneracy through Zipfian shingles
+    * (boilerplate phrases); mass EXACT duplicates remain q13's job. */
+  private[graft] val BucketCap = 32
+
   /** q15's DuckDB pipeline as a CTE prefix, shared verbatim with q25's
     * oracle (which adds a recursive connected-components suffix over the
     * same `dup` edge set). */
@@ -562,8 +603,17 @@ object Queries {
             list_min(list_transform(hs, h -> substr(h, 16*b + 1, 8))) ||
             list_min(list_transform(hs, h -> substr(h, 16*b + 9, 8))) AS bucket
           FROM sigs0, (SELECT unnest(generate_series(0, 3)) AS b) bands),
-        pairs AS (SELECT DISTINCT s1.id AS id_a, s2.id AS id_b
-          FROM sigs s1 JOIN sigs s2 ON s1.b = s2.b AND s1.bucket = s2.bucket AND s1.id < s2.id),
+        sigsn AS (SELECT id, b, bucket,
+            count(*) OVER (PARTITION BY b, bucket) AS n,
+            min(id) OVER (PARTITION BY b, bucket) AS rep FROM sigs),
+        pairs AS (SELECT DISTINCT id_a, id_b FROM (
+          SELECT s1.id AS id_a, s2.id AS id_b
+            FROM sigsn s1 JOIN sigsn s2
+              ON s1.b = s2.b AND s1.bucket = s2.bucket AND s1.id < s2.id
+            WHERE s1.n <= $BucketCap AND s2.n <= $BucketCap
+          UNION ALL
+          SELECT rep AS id_a, id AS id_b FROM sigsn
+            WHERE n > $BucketCap AND id != rep) u),
         j AS (SELECT p.id_a, p.id_b,
             CAST(FLOOR(10000.0 * len(list_intersect(a.sh, bb.sh)) / len(list_distinct(list_concat(a.sh, bb.sh))) + 0.5) AS BIGINT) AS jaccard_e4
           FROM pairs p JOIN aug a ON a.id = p.id_a JOIN aug bb ON bb.id = p.id_b),
@@ -608,16 +658,26 @@ object Queries {
         // size(...)>0 filter inferred (InferFiltersFromGenerate) that
         // alias-pushdown rewrites back into minhashbands(sh), re-running
         // the digest pass per row; outer generates are exempt
+        // bucket-size window (ONE shuffle by (b, bucket)) feeds the
+        // hot-bucket cap (BucketCap scaladoc); persisted after the
+        // window: all three pair sources read the windowed projection
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("b", "bucket")
         val sigs = aug
           .select(col("id"), GraftFunctions.minhash_bands(col("sh")).as("buckets"))
           .selectExpr("id", "posexplode_outer(buckets) AS (b, bucket)")
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("rep", min("id").over(w))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         SwapCache.swap("q15")(aug, sigs)
-        val s1 = sigs.selectExpr("id AS id_a", "b AS b_a", "bucket AS bucket_a")
-        val s2 = sigs.selectExpr("id AS id_b", "b AS b_b", "bucket AS bucket_b")
+        val small = sigs.filter(s"n <= $BucketCap")
+        val s1 = small.selectExpr("id AS id_a", "b AS b_a", "bucket AS bucket_a")
+        val s2 = small.selectExpr("id AS id_b", "b AS b_b", "bucket AS bucket_b")
         val pairs = s1.join(s2,
             expr("b_a = b_b AND bucket_a = bucket_b AND id_a < id_b"))
-          .select("id_a", "id_b").distinct()
+          .select("id_a", "id_b")
+          .unionByName(sigs.filter(s"n > $BucketCap AND id != rep")
+            .selectExpr("rep AS id_a", "id AS id_b"))
+          .distinct()
         pairs
           .join(aug.selectExpr("id AS id_a", "sh AS sh_a"), Seq("id_a"))
           .join(aug.selectExpr("id AS id_b", "sh AS sh_b"), Seq("id_b"))
@@ -1030,14 +1090,18 @@ object Queries {
       FROM labels GROUP BY rep"""))
 
   /** Embedding-cosine near-dup detection: the corpus is augmented with
-    * perturbed copies (first quantized coordinate +10, vec_id+100000) so
-    * true near-dups exist; SRP buckets propose candidates, exact
+    * perturbed copies (first quantized coordinate +10, vec_id offset by
+    * the smallest power of ten above the corpus — 100000 at every
+    * oracle-checked size) so true near-dups exist; SRP buckets propose
+    * candidates, exact
     * quantized cosine >= 0.995 confirms. Unlike q24's loose-angle ANN,
     * the target pairs here agree on almost every hyperplane, so the
-    * tables use LONG 16-bit codes — short codes pass the fixture but go
-    * quadratic at 10x corpus (see SrpLsh scale note + BASELINE.md r3). */
+    * tables use LONG codes — 16 bits at oracle scales, growing with
+    * log2(n) beyond (srpNearDupFor: short codes pass the fixture and go
+    * quadratic at larger corpora — BASELINE.md r3 measured exactly that
+    * for 4-bit codes at 40k vectors). */
   private val q26 = {
-    import SrpNearDup.{sTabs, dTabs, sStack}
+    import SrpNearDup.dTabs
     val dUnion = SrpNearDup.dUnion("id")
     val perturbSpark =
       "transform(sequence(1, 64), i -> CASE WHEN i = 1 THEN element_at(qv, i) + 10L ELSE element_at(qv, i) END)"
@@ -1047,26 +1111,35 @@ object Queries {
       "q26_embed_near_dup",
       (s, dir) => {
         GraftFunctions.registerAll(s)
-        // perturbed-copy ids live at +100000 (same collision logic as
-        // q15); the guard is memoized per (session, dir) — q15 keeps its
-        // guard inside the cached build for the same reason, and a bench
-        // sweep must not pay a max() job per repetition
+        // perturbed-copy ids live at +offset, where offset is the
+        // smallest power of ten above max vec_id (min 100000). The
+        // ORACLE's SQL hardcodes +100000, so it is only valid while
+        // offset == 100000 — true for every oracle-checked sf dir
+        // (<=20k vectors); larger corpora (ScaleBench x100 runs 200k)
+        // get a collision-free offset instead of a refused run, and
+        // only the Spark side executes there. The guard is memoized per
+        // (session, dir) — a bench sweep must not pay a max() job per
+        // repetition.
         val maxVec = maxVecId(s, dir)
-        require(maxVec < 100000L,
-          s"q26 perturbed-id offset collides: max vec_id $maxVec >= 100000")
+        var offset = 100000L
+        while (offset <= maxVec) offset *= 10L
+        // code length scales with the corpus (srpNearDupFor scaladoc);
+        // 16 bits — the oracle's static SQL — at every oracle-checked
+        // size, longer for ScaleBench-tier corpora
+        val lsh = srpNearDupFor(2L * embeddingsCount(s, dir))
         val base = t(s, dir, "embeddings")
           .selectExpr(
             "vec_id AS id",
             QuantSpark)
         val aug = base.unionByName(
-          base.selectExpr("id + 100000 AS id", s"$perturbSpark AS qv"))
+          base.selectExpr(s"id + $offset AS id", s"$perturbSpark AS qv"))
         // persisted for the same reason as q24's qq (4 consumers)
         val qq = aug
           .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
-          .selectExpr(Seq("id", "qv", "nrm") ++ sTabs: _*)
+          .selectExpr(Seq("id", "qv", "nrm") ++ lsh.sTabs: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         SwapCache.swap("q26")(qq)
-        val sigs = qq.selectExpr("id", sStack)
+        val sigs = qq.selectExpr("id", lsh.sStack)
         val cand = sigs.selectExpr("id AS id_a", "tbl", "bucket")
           .join(sigs.selectExpr("id AS id_b", "tbl AS tbl2", "bucket AS bucket2"),
             expr("tbl = tbl2 AND bucket = bucket2 AND id_a < id_b"))
@@ -1630,7 +1703,11 @@ object Queries {
       val sb = new StringBuilder("title,abstract\n")
       for (i <- 0 until 60) {
         val abs =
-          if (i % 7 == 1) "" // empty field -> Python ''.split(' ') == ['']
+          // empty field: pandas read_csv yields NaN, which
+          // list_with_na_replacement fills as the literal "N/A" that then
+          // gets SCORED (1 token, 0 matches) — the fixture plants these so
+          // q39 pins the N/A channel end-to-end (serials.py:89-106)
+          if (i % 7 == 1) ""
           else {
             // <=3 distinct target words per row (i, i+3, i+6 mod 10 are
             // always distinct); all 3 bycatch words allowed (3 <= top-3)
@@ -1678,9 +1755,12 @@ object Queries {
     },
     Some(s"""WITH raw AS (SELECT title, abstract
         FROM read_csv('${FastscoreFixture.path}', header=true)),
-      tk AS (SELECT coalesce(title, '') AS title,
-        coalesce(abstract, '') AS abstract_text,
-        string_split(lower(trim(coalesce(abstract, ''))), ' ') AS toks FROM raw),
+      -- empty cell -> pandas NaN -> fillna("N/A") (serials.py:89-106);
+      -- nullif() folds the ''-vs-NULL ambiguity of csv empty fields so
+      -- the oracle models pandas regardless of DuckDB's nullstr choice
+      tk AS (SELECT coalesce(nullif(title, ''), 'N/A') AS title,
+        coalesce(nullif(abstract, ''), 'N/A') AS abstract_text,
+        string_split(lower(trim(coalesce(nullif(abstract, ''), 'N/A'))), ' ') AS toks FROM raw),
       c AS (SELECT title, abstract_text,
         CAST(len(list_filter(toks, w -> w IN $TargetList)) AS BIGINT) AS m,
         CAST(len(list_filter(toks, w -> w IN $BycatchList)) AS BIGINT) AS b,
