@@ -580,8 +580,12 @@ object Queries {
     * at the x100 ScaleBench tier: 8.4M candidate pairs of which 93% were
     * chance collisions from ~600-member buckets, 8x wall for 3.3x data.
     * Capping at 32 kept planted-mutant recall at 99.964% vs 99.96%
-    * uncapped (the 4-band miss rate dominates) while returning candidate
-    * growth to ~linear; star edges keep oversized TRUE near-dup clusters
+    * uncapped (the 4-band miss rate dominates) while cutting x100
+    * candidates 8.4M -> 2.75M and the x100/x30 wall step 8.0x -> 5.0x;
+    * the asymptotic candidate bound is O(n*cap*bands) — the remaining
+    * super-linearity is the crossover regime where mid-size buckets
+    * still under the cap grow toward it (BASELINE.md r5 x100 section).
+    * Star edges keep oversized TRUE near-dup clusters
     * connected for q25's grouping because every member still links to the
     * representative it is near-duplicate with (confirm re-checks jaccard,
     * so chance-hot buckets contribute only n-1 cheap rejected pairs).

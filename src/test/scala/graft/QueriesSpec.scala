@@ -190,6 +190,56 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       s"LSH recall too low: ${recalled.size}/$nDocs")
   }
 
+  test("q15/q25: hot buckets star-link instead of emitting all pairs") {
+    // 40 EXACT copies of one text share every band bucket, so with the
+    // mutants the cluster's buckets exceed BucketCap (32) and must take
+    // the star-edge path: bounded candidates, but the whole cluster
+    // still connects into ONE q25 group through the representative
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    val hotText = (1 to 30).map(i => s"w${i % 9}").mkString(" ")
+    val docs = (0L until 40L).map(id => (id, hotText)) ++
+      (40L until 50L).map(id => (id, s"unique text number $id with filler tokens ${id * 7} ${id * 13} ${id * 31}"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pairs = Queries.all.find(_.name == "q15_lsh_near_dup").get
+      .fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = (0L until 40L).toSet ++ (1000000L until 1000040L)
+    val inCluster = pairs.filter(p => cluster(p._1) && cluster(p._2))
+    // all-pairs over the 80-member cluster would be C(80,2) = 3160;
+    // star-linking bounds it near the member count
+    assert(inCluster.nonEmpty && inCluster.length < 400,
+      s"hot bucket emitted ${inCluster.length} pairs — cap not applied?")
+    // connectivity: every cluster member reachable from the rest via the
+    // confirmed edges (one group, nothing stranded by the cap)
+    val groups = Queries.all.find(_.name == "q25_dedup_groups").get
+      .fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hotGroup = groups.filter { case (_, n) => n >= 80 }
+    assert(hotGroup.size == 1 && hotGroup.head._2 == 80,
+      s"hot cluster fragmented: groups >= 80 members: $hotGroup")
+  }
+
+  test("q26 offset scales past 100k vec ids instead of refusing (sparse ids)") {
+    // 50 vectors whose ids REACH 147k: the perturbed-copy offset must
+    // jump to 1e6 (smallest power of ten above max id) and every
+    // original still pairs with its perturbed copy
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec").toString
+    val rnd = new scala.util.Random(11)
+    (0 until 50).map { i =>
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      (i * 3000L, v.map(x => (x / nrm).toFloat))
+    }.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = Queries.all.find(_.name == "q26_embed_near_dup").get
+      .fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length >= 45, s"perturbed pairs lost: ${out.length}/50")
+    assert(out.forall { case (a, b) => b == a + 1000000L },
+      s"expected (id, id+1e6) pairs, got: ${out.take(5).mkString(",")}")
+  }
+
   test("minhash_bands is byte-identical to the SQL md5 lane construction") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
