@@ -84,7 +84,8 @@ object ScaleBench {
   private val Suite = Seq(
     "q13_dedup_exact", "q14_minhash_sig", "q15_lsh_near_dup", "q16_ann_topk",
     "q24_ann_lsh", "q25_dedup_groups", "q26_embed_near_dup",
-    "q27_winnow_fingerprints", "q34_ann_ivf", "q35_training_set")
+    "q27_winnow_fingerprints", "q34_ann_ivf", "q35_training_set",
+    "q41_jaccard_join")
 
   /** x30 and x100 run the queries whose growth needs the extra order-of-
     * magnitude points: q15/q26 grew super-linearly at x10 (2.40x, 2.20x —

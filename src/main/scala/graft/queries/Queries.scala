@@ -206,6 +206,17 @@ object Queries {
       last.getOrElse(key, Nil).foreach(d => scala.util.Try(d.unpersist(false)))
       last = last.updated(key, dfs.toList)
     }
+    /** MUST be called BEFORE the new generation's persist() calls, not
+      * after: a re-invocation on the same dir builds plans IDENTICAL to
+      * the cached generation's, so CacheManager dedups the new persist
+      * into the OLD entry ("Asked to cache already cached data") — and a
+      * swap() after the fact then uncaches that shared entry BY PLAN,
+      * leaving the new generation completely uncached and every consumer
+      * recomputing the full chain (measured: q41 re-runs went 4.4 s ->
+      * 40 s). Release-first keeps each generation's cache entries
+      * disjoint; the re-build cost between generations is paid, which is
+      * the swap contract anyway. */
+    def release(key: String): Unit = swap(key)()
   }
 
   /** Cache of q15's CONFIRMED-PAIR result, keyed by (session, sf dir):
@@ -635,6 +646,10 @@ object Queries {
           .agg(max("doc_id")).head().getLong(0)
         require(maxId < 1000000L,
           s"q15 mutant-id offset collides: max doc_id $maxId >= 1000000")
+        // release-first (SwapCache.release scaladoc): persisting a plan
+        // identical to the previous generation's would dedup into the old
+        // CacheManager entry that swap() then kills
+        SwapCache.release("q15")
         val base = t(s, dir, "documents").selectExpr("doc_id AS id", s"$SparkToks AS toks")
         // the shingle+hash pipeline feeds the band explode AND both sides
         // of the jaccard join — persist it once instead of recomputing the
@@ -925,6 +940,8 @@ object Queries {
       "q24_ann_lsh",
       (s, dir) => {
         GraftFunctions.registerAll(s)
+        // release-first (SwapCache.release scaladoc)
+        SwapCache.release("q24")
         // persisted: the 32 hyperplane dot products per vector feed the
         // bucket self-join (both sides) AND the two re-rank joins — four
         // recomputes without the persist
@@ -1131,6 +1148,8 @@ object Queries {
         // 16 bits — the oracle's static SQL — at every oracle-checked
         // size, longer for ScaleBench-tier corpora
         val lsh = srpNearDupFor(2L * embeddingsCount(s, dir))
+        // release-first (SwapCache.release scaladoc)
+        SwapCache.release("q26")
         val base = t(s, dir, "embeddings")
           .selectExpr(
             "vec_id AS id",
@@ -1834,9 +1853,119 @@ object Queries {
         AND (SELECT COUNT(*) FROM inp) = 2 * (SELECT COUNT(*) FROM sink)
       GROUP BY kind ORDER BY kind"""))
 
+  /** EXACT n-gram Jaccard similarity join via prefix filtering — the
+    * deterministic counterpart to q15's probabilistic MinHash on the
+    * same planted-mutant task (the dedup family list's "n-gram Jaccard"
+    * entry as its own first-class operator, not just q15's confirm
+    * stage). Word BIGRAMS, tau = 0.9, AllPairs/PPJoin-style blocking
+    * (Bayardo et al. WWW'07 / Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08): under a global gram order by (document frequency, gram),
+    * any pair with J >= tau must share a gram within each side's first
+    * |B| - ceil(tau*|B|) + 1 grams — the globally smallest common gram
+    * g* has at most |B| - |A∩B| <= |B| - ceil(tau*|B|) non-common grams
+    * of B before it, so g* sits inside BOTH prefixes and the
+    * prefix-posting self-join proposes every qualifying pair. PPJoin's
+    * LENGTH filter (tau*|A| <= |B| <= |A|/tau) and POSITIONAL filter
+    * (the suffix remaining past the matching prefix positions must
+    * still fit the overlap bound ceil(tau/(1+tau)*(|A|+|B|))) prune
+    * candidates the prefix join alone admits — measured on the sf0.1
+    * fixture (931 distinct bigrams, so EVERY gram is common and prefix
+    * blocking alone degenerates): 9.7M -> 716k candidates. The final
+    * gate is the exact RATIONAL 10*|A∩B| >= 9*|A∪B| — an e4-rounded
+    * gate would admit J just below tau that the filters legitimately
+    * never propose, breaking the equals-brute-force contract. The
+    * result EQUALS brute force (no recall parameter, unlike LSH);
+    * the cost is data-dependent (sum of C(prefix-bucket, 2)) — on
+    * Zipfian real-text gram spaces rare grams keep buckets small, on
+    * adversarially small gram spaces the exact join is inherently
+    * candidate-heavy and q15's LSH is the scale path (both documented
+    * tradeoffs of the AllPairs family). All ceil() terms stay in
+    * integer arithmetic in BOTH dialects — float tau*sz rounds UP
+    * through binary representation (0.8*5 = 4.000000000000001). */
+  private val q41 = {
+    val sparkBigrams =
+      "CASE WHEN size(toks) >= 2 THEN array_distinct(transform(sequence(1, size(toks)-1), " +
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1)))) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    val duckBigrams =
+      "CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(generate_series(1, len(toks)-1), " +
+        "i -> toks[i] || ' ' || toks[i+1])) " +
+        "ELSE CAST([] AS VARCHAR[]) END"
+    Q(
+      "q41_jaccard_join",
+      (s, dir) => {
+        val maxId = t(s, dir, "documents")
+          .agg(max("doc_id")).head().getLong(0)
+        require(maxId < 1000000L,
+          s"q41 mutant-id offset collides: max doc_id $maxId >= 1000000")
+        // release-first (SwapCache.release scaladoc)
+        SwapCache.release("q41")
+        val base = t(s, dir, "documents")
+          .selectExpr("doc_id AS id", s"$SparkToks AS toks")
+        // grams feeds the posting explode AND both confirm sides;
+        // prefix feeds both sides of the candidate self-join
+        val grams = base.unionByName(
+            base.selectExpr("id + 1000000 AS id", "slice(toks, 2, size(toks)) AS toks"))
+          .selectExpr("id", s"$sparkBigrams AS gs")
+          .withColumn("sz", expr("size(gs)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val posting = grams.selectExpr("id", "sz", "explode(gs) AS g")
+        val freq = posting.groupBy("g").agg(count(lit(1)).as("df"))
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("df", "g")
+        val prefix = posting.join(freq, Seq("g"))
+          .withColumn("rn", row_number().over(wDoc))
+          .filter("rn <= sz - ((9 * sz + 9) DIV 10) + 1")
+          .select("id", "sz", "g", "rn")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        SwapCache.swap("q41")(grams, prefix)
+        // candidate join with PPJoin's length + positional filters:
+        // overlap bound alpha = ceil(9*(szA+szB)/19)
+        val cand = prefix.selectExpr("id AS id_a", "sz AS sz_a", "g", "rn AS rn_a")
+          .join(prefix.selectExpr("id AS id_b", "sz AS sz_b", "g AS g2", "rn AS rn_b"),
+            expr("g = g2 AND id_a < id_b" +
+              " AND 9 * sz_a <= 10 * sz_b AND 9 * sz_b <= 10 * sz_a" +
+              " AND 1 + least(sz_a - rn_a, sz_b - rn_b) >= (9 * (sz_a + sz_b) + 18) DIV 19"))
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(grams.selectExpr("id AS id_a", "gs AS gs_a"), Seq("id_a"))
+          .join(grams.selectExpr("id AS id_b", "gs AS gs_b"), Seq("id_b"))
+          .selectExpr("id_a", "id_b",
+            "size(array_intersect(gs_a, gs_b)) AS ni",
+            "size(array_union(gs_a, gs_b)) AS nu")
+          .filter("10 * ni >= 9 * nu")
+          .selectExpr("id_a", "id_b",
+            "CAST(FLOOR(10000.0 * ni / nu + 0.5) AS BIGINT) AS jaccard_e4")
+      },
+      Some(s"""WITH base AS (SELECT doc_id AS id, $DuckToks AS toks FROM documents),
+        aug AS (SELECT id, toks FROM base
+                UNION ALL SELECT id + 1000000 AS id, toks[2:] AS toks FROM base),
+        sized AS (SELECT id, $duckBigrams AS gs FROM aug),
+        sized2 AS (SELECT id, gs, len(gs) AS sz FROM sized),
+        posting AS (SELECT id, sz, unnest(gs) AS g FROM sized2),
+        freq AS (SELECT g, COUNT(*) AS df FROM posting GROUP BY g),
+        ranked AS (SELECT p.id, p.sz, p.g,
+            row_number() OVER (PARTITION BY p.id ORDER BY f.df, p.g) AS rn
+          FROM posting p JOIN freq f ON f.g = p.g),
+        pre AS (SELECT id, sz, g, rn FROM ranked
+          WHERE rn <= sz - ((9 * sz + 9) // 10) + 1),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM pre a JOIN pre b ON a.g = b.g AND a.id < b.id
+            AND 9 * a.sz <= 10 * b.sz AND 9 * b.sz <= 10 * a.sz
+            AND 1 + least(a.sz - a.rn, b.sz - b.rn) >= (9 * (a.sz + b.sz) + 18) // 19),
+        j AS (SELECT c.id_a, c.id_b,
+            len(list_intersect(x.gs, y.gs)) AS ni,
+            len(list_distinct(list_concat(x.gs, y.gs))) AS nu
+          FROM cand c JOIN sized2 x ON x.id = c.id_a JOIN sized2 y ON y.id = c.id_b)
+        SELECT id_a, id_b,
+          CAST(FLOOR(10000.0 * ni / nu + 0.5) AS BIGINT) AS jaccard_e4
+        FROM j WHERE 10 * ni >= 9 * nu"""))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+    q41)
 }

@@ -85,9 +85,10 @@ class LintSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("repeated invocations of the persisting queries do not grow the cache") {
+  test("repeated invocations of the persisting queries do not grow OR empty the cache") {
     spark.catalog.clearCache()
-    val persisting = Seq("q15_lsh_near_dup", "q24_ann_lsh", "q26_embed_near_dup")
+    val persisting = Seq("q15_lsh_near_dup", "q24_ann_lsh",
+      "q26_embed_near_dup", "q41_jaccard_join")
     def runAll(): Unit = persisting.foreach(n =>
       Queries.all.find(_.name == n).get.fn(spark, sf).count())
     runAll()
@@ -98,5 +99,14 @@ class LintSpec extends AnyFunSuite with SparkTestBase {
     // second sweep must not add blocks; growth means a persist lost its
     // owner (each unowned persist leaks one generation per sweep)
     assert(n2 <= n1, s"persisted RDDs grew $n1 -> $n2 across a repeat sweep")
+    // ...and must not silently UNcache either: a rebuilt generation whose
+    // plan equals the previous one dedups its persist() into the old
+    // CacheManager entry, which a persist-then-swap order then removes BY
+    // PLAN — leaving runs 2+ fully uncached and recomputing the whole
+    // chain per consumer (measured 4.4 s -> 40 s on q41 re-runs; the
+    // release-first order in the query bodies is what this pins)
+    assert(n2 > 0,
+      "second sweep left ZERO persisted RDDs — a swap-after-persist killed " +
+        "the shared CacheManager entry (see SwapCache.release scaladoc)")
   }
 }

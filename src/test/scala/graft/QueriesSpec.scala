@@ -87,12 +87,13 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
 
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Queries.all.count(_.oracle.isDefined)
-    // 40 queries, 39 oracled; q17 is the one genuinely non-SQL
+    // 41 queries, 40 oracled; q17 is the one genuinely non-SQL
     // end-to-end pipeline (byte-identical extraction), pinned by sbt
     // goldens instead. q27/q40 gained dump-re-derive oracles in round 5,
     // q19 re-derives its lineage aggregates from the dumped data table
-    // (resume/crash semantics stay law-pinned in GraftTableSpec).
-    assert(withOracle == 39)
+    // (resume/crash semantics stay law-pinned in GraftTableSpec), and
+    // q41 (prefix-filtered jaccard join) arrived fully oracled.
+    assert(withOracle == 40)
     // no duplicate query names (the Map would silently collapse them and
     // the driver would lose a query)
     assert(SparkEntry.queries.size == Queries.all.size)
@@ -238,6 +239,36 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.length >= 45, s"perturbed pairs lost: ${out.length}/50")
     assert(out.forall { case (a, b) => b == a + 1000000L },
       s"expected (id, id+1e6) pairs, got: ${out.take(5).mkString(",")}")
+  }
+
+  test("q41_jaccard_join equals brute-force bigram Jaccard (prefix filter is lossless)") {
+    // unlike LSH, prefix filtering has NO recall parameter: the output
+    // must match an all-pairs recomputation exactly, planted mutants and
+    // chance pairs alike
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> TextOps.tokenize(r.getString(1)).toVector)
+    def bigrams(toks: Vector[String]): Set[String] =
+      if (toks.length < 2) Set.empty
+      else toks.sliding(2).map(_.mkString(" ")).toSet
+    val sets = (docs.map { case (id, t) => id -> bigrams(t) } ++
+      docs.map { case (id, t) => (id + 1000000L) -> bigrams(t.drop(1)) }).toMap
+    val ids = sets.keys.toVector.sorted
+    val expected = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      a = sets(ids(i)); b = sets(ids(j))
+      union = (a ++ b).size
+      if union > 0
+      inter = a.intersect(b).size
+      // the exact RATIONAL tau=0.9 gate the query promises (an e4-rounded
+      // gate would include J just below 0.9 that blocking never proposes)
+      if 10 * inter >= 9 * union
+    } yield (ids(i), ids(j), math.floor(10000.0 * inter / union + 0.5).toLong)).toSet
+    val got = run("q41_jaccard_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
   test("minhash_bands is byte-identical to the SQL md5 lane construction") {
