@@ -81,11 +81,20 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
+  // q41 (exact prefix-filtered jaccard join) is EXCLUDED by design, like
+  // q16: on this 40-word vocabulary every one of the 1600 possible
+  // bigrams is common, so the exact join's candidate set grows
+  // quadratically no matter the blocking — measured via a DuckDB probe:
+  // 402k candidates at x1 -> 46.9M at x10 (116x per 10x data), with the
+  // length+positional filters already applied. That is the documented
+  // data-dependent worst case of the AllPairs family (q41 scaladoc) and
+  // exactly the regime where q15's LSH is the scale path; benching the
+  // exact join here would measure the corpus's adversarial gram space,
+  // not the engine.
   private val Suite = Seq(
     "q13_dedup_exact", "q14_minhash_sig", "q15_lsh_near_dup", "q16_ann_topk",
     "q24_ann_lsh", "q25_dedup_groups", "q26_embed_near_dup",
-    "q27_winnow_fingerprints", "q34_ann_ivf", "q35_training_set",
-    "q41_jaccard_join")
+    "q27_winnow_fingerprints", "q34_ann_ivf", "q35_training_set")
 
   /** x30 and x100 run the queries whose growth needs the extra order-of-
     * magnitude points: q15/q26 grew super-linearly at x10 (2.40x, 2.20x —
