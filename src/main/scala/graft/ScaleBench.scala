@@ -126,8 +126,9 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = new java.io.File("target/scale").getAbsolutePath
-    // SPARK_GRAFT_SCALE_DEEP=0 skips the x100 tier (quick regression runs)
-    val deep = sys.env.getOrElse("SPARK_GRAFT_SCALE_DEEP", "1") == "1"
+    // SPARK_GRAFT_SCALE_DEEP=0 skips the x100 tier (quick regression
+    // runs); any OTHER value keeps it — "=true" must not silently skip
+    val deep = sys.env.getOrElse("SPARK_GRAFT_SCALE_DEEP", "1") != "0"
     val scales = Seq(
       ("x1", 5000L, 2000L, Suite),
       ("x10", 50000L, 20000L, Suite),

@@ -281,8 +281,13 @@ object Modes {
     import spark.implicits._
     spark.read.option("header", "true").csv(csvPath)
       .select(
-        coalesce(col("title").cast("string"), lit("N/A")).as("title"),
-        coalesce(col("abstract").cast("string"), lit("N/A")).as("abstract"))
+        // the nullif fold matters for QUOTED empty cells ("") — Spark's
+        // CSV reader yields "" for those (unquoted empties read as null)
+        // while pandas yields NaN for both, so both shapes must land on
+        // "N/A" (verified by executing the reference on a quoted-empty
+        // CSV); the q39 oracle applies the same fold on the DuckDB side
+        expr("coalesce(nullif(CAST(title AS STRING), ''), 'N/A')").as("title"),
+        expr("coalesce(nullif(CAST(abstract AS STRING), ''), 'N/A')").as("abstract"))
       .as[(String, String)]
       .map { case (title, abs) =>
         val s = scoreText(abs, targetWords, bycatchWords)

@@ -105,7 +105,7 @@ object Queries {
     * q24 (loose-angle ANN, needs OR-amplified recall over far neighbors)
     * keeps short 4-bit tables; q26 (cosine >= 0.995 near-dup, where true
     * pairs agree on almost every hyperplane) uses 16-bit tables. */
-  private final class SrpLsh(nTables: Int, bitsPerTable: Int) {
+  private final class SrpLsh(nTables: Int, val bitsPerTable: Int) {
     def weights(p: Int): Seq[Long] = (1 to 64).map { i =>
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"${i}_$p".getBytes("UTF-8"))
@@ -569,39 +569,67 @@ object Queries {
     * quadratically; trigram shingles keep buckets selective. The
     * self-join runs on the tiny (id, band, bucket) projection — document
     * shingle sets are only re-joined for surviving candidates. */
-  // dialect pair: 3-gram shingles over toks (guarded for <3 tokens;
-  // Spark's sequence(a,b) descends when b<a, DuckDB's generate_series
-  // returns [] — the CASE keeps both on the empty path)
-  private val sparkShingles =
-    "CASE WHEN size(toks) >= 3 THEN array_distinct(transform(sequence(1, size(toks)-2), " +
-      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))) " +
+  // dialect pair: distinct word n-grams over toks, ONE builder for every
+  // gram width (q15 uses trigram shingles, q41 bigrams — the <n-token
+  // guard and the transform shape must not drift between them or
+  // between dialects). Guarded for <n tokens: Spark's sequence(a,b)
+  // descends when b<a, DuckDB's generate_series returns [] — the CASE
+  // keeps both on the empty path.
+  private def sparkNGrams(n: Int): String = {
+    val parts = (0 until n).map(d =>
+      if (d == 0) "element_at(toks, i)" else s"element_at(toks, i+$d)")
+    s"CASE WHEN size(toks) >= $n THEN array_distinct(transform(sequence(1, size(toks)-${n - 1}), " +
+      s"i -> concat_ws(' ', ${parts.mkString(", ")}))) " +
       "ELSE CAST(array() AS ARRAY<STRING>) END"
-  private val duckShingles =
-    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(generate_series(1, len(toks)-2), " +
-      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) " +
+  }
+  private def duckNGrams(n: Int): String = {
+    val parts = (0 until n).map(d => if (d == 0) "toks[i]" else s"toks[i+$d]")
+    s"CASE WHEN len(toks) >= $n THEN list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), " +
+      s"i -> ${parts.mkString(" || ' ' || ")})) " +
       "ELSE CAST([] AS VARCHAR[]) END"
+  }
+  private val sparkShingles = sparkNGrams(3)
+  private val duckShingles = duckNGrams(3)
 
   /** Hot-bucket cap for the LSH candidate join (a SCALE parameter, like
-    * the SRP code lengths): buckets collecting more than this many rows
-    * switch from all-pairs (quadratic in bucket size) to star-linking
-    * every member to the bucket's min-id representative (linear). With a
-    * bounded shingle space the per-lane minhash minima concentrate on the
-    * globally-smallest shingle hashes, so hot buckets grow LINEARLY with
-    * the corpus and all-pairs inside them grows QUADRATICALLY — measured
-    * at the x100 ScaleBench tier: 8.4M candidate pairs of which 93% were
-    * chance collisions from ~600-member buckets, 8x wall for 3.3x data.
-    * Capping at 32 kept planted-mutant recall at 99.964% vs 99.96%
-    * uncapped (the 4-band miss rate dominates) while cutting x100
-    * candidates 8.4M -> 2.75M and the x100/x30 wall step 8.0x -> 5.0x;
-    * the asymptotic candidate bound is O(n*cap*bands) — the remaining
-    * super-linearity is the crossover regime where mid-size buckets
-    * still under the cap grow toward it (BASELINE.md r5 x100 section).
-    * Star edges keep oversized TRUE near-dup clusters
-    * connected for q25's grouping because every member still links to the
-    * representative it is near-duplicate with (confirm re-checks jaccard,
-    * so chance-hot buckets contribute only n-1 cheap rejected pairs).
-    * Real web corpora hit the same degeneracy through Zipfian shingles
-    * (boilerplate phrases); mass EXACT duplicates remain q13's job. */
+    * the SRP code lengths). With a bounded shingle space the per-lane
+    * minhash minima concentrate on the globally-smallest shingle hashes,
+    * so hot buckets grow LINEARLY with the corpus and all-pairs inside
+    * them grows QUADRATICALLY — measured at the x100 ScaleBench tier:
+    * 8.4M candidate pairs of which 93% were chance collisions from
+    * ~600-member buckets, 8x wall for 3.3x data. Real web corpora hit
+    * the same degeneracy through Zipfian shingles (boilerplate
+    * phrases). Buckets over this size therefore step down through THREE
+    * tiers instead of all-pairs:
+    *
+    *  1. small buckets (n <= cap): all-pairs, exactly as before;
+    *  2. hot buckets: all-pairs only within (bucket, NEXT band's
+    *     bucket) sub-buckets that are themselves bounded (m <= cap) —
+    *     LSH-Forest-style resolution doubling (Bawa et al. WWW'05):
+    *     requiring agreement on a second band is r=4 banding, which a
+    *     true J>=0.8 pair passes with p ~ J^4 ~ 0.41 per adjacent-band
+    *     pair while chance colliders (p ~ J_chance^4) disperse, so a
+    *     true cluster trapped inside a predominantly-chance hot bucket
+    *     still gets direct intra-cluster edges (a random graph at
+    *     p ~ 0.4 over 4 band orderings is connected with high
+    *     probability) WITHOUT trusting the possibly-chance min-id row;
+    *  3. the star floor: every hot-bucket member additionally links to
+    *     the bucket's min-id representative (n-1 cheap pairs; confirm
+    *     re-checks jaccard, so chance reps cost one rejected pair per
+    *     member and exact-duplicate mega-clusters — whose sub-buckets
+    *     stay hot because every band agrees — remain connected for
+    *     q25's grouping through the rep).
+    *
+    * Residual risk, documented: a true >cap cluster fragments only if
+    * BOTH its sub-bucket pairs miss (p ~ (1-J^4)^4 per pair) AND every
+    * band's min-id is a chance collider; mass EXACT duplicates remain
+    * q13's job. Capping at 32 kept planted-mutant recall at 99.964% vs
+    * 99.96% uncapped (the 4-band miss rate dominates) while cutting
+    * x100 candidates 8.4M -> 2.75M and the x100/x30 wall step 8.0x ->
+    * 5.0x; the asymptotic candidate bound is O(n*cap*bands) — the
+    * remaining super-linearity is the crossover regime where mid-size
+    * buckets still under the cap grow toward it (BASELINE.md r5 x100
+    * section). */
   private[graft] val BucketCap = 32
 
   /** q15's DuckDB pipeline as a CTE prefix, shared verbatim with q25's
@@ -618,14 +646,24 @@ object Queries {
             list_min(list_transform(hs, h -> substr(h, 16*b + 1, 8))) ||
             list_min(list_transform(hs, h -> substr(h, 16*b + 9, 8))) AS bucket
           FROM sigs0, (SELECT unnest(generate_series(0, 3)) AS b) bands),
-        sigsn AS (SELECT id, b, bucket,
+        sigss AS (SELECT s.id, s.b, s.bucket, nx.bucket AS sec
+          FROM sigs s JOIN sigs nx ON nx.id = s.id AND nx.b = (s.b + 1) % 4),
+        sigsn AS (SELECT id, b, bucket, sec,
             count(*) OVER (PARTITION BY b, bucket) AS n,
-            min(id) OVER (PARTITION BY b, bucket) AS rep FROM sigs),
+            min(id) OVER (PARTITION BY b, bucket) AS rep,
+            count(*) OVER (PARTITION BY b, bucket, sec) AS m FROM sigss),
         pairs AS (SELECT DISTINCT id_a, id_b FROM (
           SELECT s1.id AS id_a, s2.id AS id_b
             FROM sigsn s1 JOIN sigsn s2
               ON s1.b = s2.b AND s1.bucket = s2.bucket AND s1.id < s2.id
             WHERE s1.n <= $BucketCap AND s2.n <= $BucketCap
+          UNION ALL
+          SELECT s1.id AS id_a, s2.id AS id_b
+            FROM sigsn s1 JOIN sigsn s2
+              ON s1.b = s2.b AND s1.bucket = s2.bucket AND s1.sec = s2.sec
+                AND s1.id < s2.id
+            WHERE s1.n > $BucketCap
+              AND s1.m <= $BucketCap AND s2.m <= $BucketCap
           UNION ALL
           SELECT rep AS id_a, id AS id_b FROM sigsn
             WHERE n > $BucketCap AND id != rep) u),
@@ -659,41 +697,44 @@ object Queries {
               base.selectExpr("id + 1000000 AS id", "slice(toks, 2, size(toks)) AS toks"))
             .selectExpr("id", s"$sparkShingles AS sh")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // two md5s per shingle -> eight independent 32-bit lanes; band
-        // bucket = per-lane minimum (8x less hashing than hash-per-band
-        // over every shingle). The native minhash_bands expression runs
-        // the whole stage in ONE pass over the raw digests — byte-
-        // identical to the SQL construction the oracle re-derives (see
-        // MinHashBands scaladoc), without materializing a 64-char hex
-        // string per shingle and re-scanning it 8 times.
-        // r=2 banding: two independent 32-bit lane minima per band, so a
-        // pair collides with probability ~J^2 instead of ~J — on this
-        // corpus that is 41x fewer candidates at 99.96% planted recall
-        // sigs is persisted too: BOTH sides of the candidate self-join read
-        // it, and without the persist each side re-runs the md5 pass
-        // posexplode_OUTER on purpose: minhash_bands always returns a
-        // 4-element array for the never-null sh column, so outer emits
-        // identical rows — but the non-outer Generate gets a
-        // size(...)>0 filter inferred (InferFiltersFromGenerate) that
-        // alias-pushdown rewrites back into minhashbands(sh), re-running
-        // the digest pass per row; outer generates are exempt
-        // bucket-size window (ONE shuffle by (b, bucket)) feeds the
-        // hot-bucket cap (BucketCap scaladoc); persisted after the
-        // window: all three pair sources read the windowed projection
+        // minhash_bands: one pass over raw md5 digests, byte-identical
+        // to the SQL lane construction (MinHashBands scaladoc); r=2
+        // banding collides pairs at ~J^2 (41x fewer candidates, 99.96%
+        // planted recall). posexplode_OUTER on purpose: the non-outer
+        // Generate gets an inferred size()>0 filter that alias-pushdown
+        // rewrites into a SECOND minhash_bands evaluation per row; outer
+        // generates are exempt (the array is always 4 elements).
+        // `sec` = NEXT band's bucket (LSH-Forest resolution doubling for
+        // hot buckets ~ r=4); n/m/rep drive the three candidate tiers
+        // (BucketCap scaladoc). Persisted AFTER the windows: all four
+        // pair sources read the windowed projection.
         val w = org.apache.spark.sql.expressions.Window.partitionBy("b", "bucket")
+        val wSub = org.apache.spark.sql.expressions.Window.partitionBy("b", "bucket", "sec")
         val sigs = aug
           .select(col("id"), GraftFunctions.minhash_bands(col("sh")).as("buckets"))
-          .selectExpr("id", "posexplode_outer(buckets) AS (b, bucket)")
+          .selectExpr("id", "buckets", "posexplode_outer(buckets) AS (b, bucket)")
+          .selectExpr("id", "b", "bucket",
+            "element_at(buckets, CAST((b + 1) % 4 AS INT) + 1) AS sec")
           .withColumn("n", count(lit(1)).over(w))
           .withColumn("rep", min("id").over(w))
+          .withColumn("m", count(lit(1)).over(wSub))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         SwapCache.swap("q15")(aug, sigs)
         val small = sigs.filter(s"n <= $BucketCap")
         val s1 = small.selectExpr("id AS id_a", "b AS b_a", "bucket AS bucket_a")
         val s2 = small.selectExpr("id AS id_b", "b AS b_b", "bucket AS bucket_b")
+        // hot-bucket sub-tier: all-pairs within (bucket, sec) where the
+        // sub-bucket is itself bounded — exact-duplicate mega-clusters
+        // keep identical sec and stay on the star floor below
+        val subSmall = sigs.filter(s"n > $BucketCap AND m <= $BucketCap")
+        val u1 = subSmall.selectExpr("id AS id_a", "b AS b_a", "bucket AS bucket_a", "sec AS sec_a")
+        val u2 = subSmall.selectExpr("id AS id_b", "b AS b_b", "bucket AS bucket_b", "sec AS sec_b")
         val pairs = s1.join(s2,
             expr("b_a = b_b AND bucket_a = bucket_b AND id_a < id_b"))
           .select("id_a", "id_b")
+          .unionByName(u1.join(u2,
+              expr("b_a = b_b AND bucket_a = bucket_b AND sec_a = sec_b AND id_a < id_b"))
+            .select("id_a", "id_b"))
           .unionByName(sigs.filter(s"n > $BucketCap AND id != rep")
             .selectExpr("rep AS id_a", "id AS id_b"))
           .distinct()
@@ -1133,21 +1174,26 @@ object Queries {
       (s, dir) => {
         GraftFunctions.registerAll(s)
         // perturbed-copy ids live at +offset, where offset is the
-        // smallest power of ten above max vec_id (min 100000). The
-        // ORACLE's SQL hardcodes +100000, so it is only valid while
-        // offset == 100000 — true for every oracle-checked sf dir
-        // (<=20k vectors); larger corpora (ScaleBench x100 runs 200k)
-        // get a collision-free offset instead of a refused run, and
-        // only the Spark side executes there. The guard is memoized per
-        // (session, dir) — a bench sweep must not pay a max() job per
-        // repetition.
+        // smallest power of ten above max vec_id (min 100000), and the
+        // SRP code length scales with the corpus (srpNearDupFor
+        // scaladoc; 16 bits up to 16,384 vectors). The ORACLE's SQL
+        // statically hardcodes +100000 and 16-bit tables — valid for
+        // every oracle-checked sf dir (<= 2k vectors) — so verify mode
+        // fails LOUDLY below if a dir ever leaves that domain, instead
+        // of producing an unexplained wholesale hash mismatch; larger
+        // corpora (ScaleBench x100 runs 200k vectors) execute only the
+        // Spark side and get collision-free scale parameters instead of
+        // a refused run. Both guards are memoized per (session, dir) —
+        // a bench sweep must not pay a max()/count() job per repetition.
         val maxVec = maxVecId(s, dir)
         var offset = 100000L
         while (offset <= maxVec) offset *= 10L
-        // code length scales with the corpus (srpNearDupFor scaladoc);
-        // 16 bits — the oracle's static SQL — at every oracle-checked
-        // size, longer for ScaleBench-tier corpora
         val lsh = srpNearDupFor(2L * embeddingsCount(s, dir))
+        if (auxDumpEnabled)
+          require(offset == 100000L && lsh.bitsPerTable == 16,
+            s"q26 oracle domain exceeded: offset=$offset bits=${lsh.bitsPerTable}" +
+              " — the static oracle SQL assumes +100000 / 16-bit codes;" +
+              " verify runs need a corpus of <= 16k vectors with ids < 100000")
         // release-first (SwapCache.release scaladoc)
         SwapCache.release("q26")
         val base = t(s, dir, "embeddings")
@@ -1883,14 +1929,8 @@ object Queries {
     * integer arithmetic in BOTH dialects — float tau*sz rounds UP
     * through binary representation (0.8*5 = 4.000000000000001). */
   private val q41 = {
-    val sparkBigrams =
-      "CASE WHEN size(toks) >= 2 THEN array_distinct(transform(sequence(1, size(toks)-1), " +
-        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1)))) " +
-        "ELSE CAST(array() AS ARRAY<STRING>) END"
-    val duckBigrams =
-      "CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(generate_series(1, len(toks)-1), " +
-        "i -> toks[i] || ' ' || toks[i+1])) " +
-        "ELSE CAST([] AS VARCHAR[]) END"
+    val sparkBigrams = sparkNGrams(2)
+    val duckBigrams = duckNGrams(2)
     Q(
       "q41_jaccard_join",
       (s, dir) => {

@@ -56,10 +56,10 @@ class ModesSpec extends AnyFunSuite with SparkTestBase {
     val target = Set("spark", "table")
     val bycatch = Set("slow")
     val path = tmpFile("abstracts.csv",
-      "title,abstract\nT0,spark table spark slow\nT1,\nT2,plain words only\n")
+      "title,abstract\nT0,spark table spark slow\nT1,\nT2,plain words only\nT3,\"\"\n")
     val out = Modes.fastscore(spark, path, target, bycatch)
     val rows = out.collect().map(r => r.getAs[String]("title") -> r).toMap
-    assert(rows.keySet == Set("T0", "T1", "T2"))
+    assert(rows.keySet == Set("T0", "T1", "T2", "T3"))
     // scores must equal the golden-pinned typed scorer on the same text
     def expected(text: String) = Extractor.score(
       ExtractedDoc("", "abstract", text, "", text, "", Nil, 0L, true, ""),
@@ -71,10 +71,14 @@ class ModesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("T2").getAs[Number]("matching_terms").intValue == 0)
     // empty cell -> pandas NaN -> fillna("N/A") (serials.py:89-106,
     // verified by executing serialize_from_csv on a blank-bearing CSV):
-    // the literal "N/A" is both the stored text and the scored input
-    assert(rows("T1").getAs[String]("abstract_text") == "N/A")
-    assert(rows("T1").getAs[Number]("total_word_count").intValue == 1)
-    assert(rows("T1").getAs[Number]("matching_terms").intValue == 0)
+    // the literal "N/A" is both the stored text and the scored input.
+    // T3's QUOTED empty ("") reads as "" in Spark's CSV reader but NaN
+    // in pandas — the nullif fold must land both shapes on "N/A"
+    for (t <- Seq("T1", "T3")) {
+      assert(rows(t).getAs[String]("abstract_text") == "N/A")
+      assert(rows(t).getAs[Number]("total_word_count").intValue == 1)
+      assert(rows(t).getAs[Number]("matching_terms").intValue == 0)
+    }
   }
 
   test("wordscore mode: doi csv -> Dimensions -> abstract JSON path -> score") {

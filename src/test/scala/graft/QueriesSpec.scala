@@ -234,11 +234,23 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       (i * 3000L, v.map(x => (x / nrm).toFloat))
     }.toDF("vec_id", "embedding").write.mode("overwrite")
       .parquet(s"$dir/embeddings.parquet")
-    val out = Queries.all.find(_.name == "q26_embed_near_dup").get
-      .fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // this corpus deliberately leaves the oracle's static domain
+    // (offset jumps to 1e6) — verify mode would fail LOUDLY on it by
+    // design, so run the query as a bench/scale caller would
+    val saved = Queries.auxDumpEnabled
+    Queries.auxDumpEnabled = false
+    val out =
+      try Queries.all.find(_.name == "q26_embed_near_dup").get
+        .fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+      finally Queries.auxDumpEnabled = saved
     assert(out.length >= 45, s"perturbed pairs lost: ${out.length}/50")
     assert(out.forall { case (a, b) => b == a + 1000000L },
       s"expected (id, id+1e6) pairs, got: ${out.take(5).mkString(",")}")
+    // and the guard itself: verify mode on this dir must refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Queries.all.find(_.name == "q26_embed_near_dup").get.fn(spark, dir)
+    }
+    assert(e.getMessage.contains("oracle domain exceeded"))
   }
 
   test("q41_jaccard_join equals brute-force bigram Jaccard (prefix filter is lossless)") {
