@@ -58,11 +58,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"simhash64 needs a string column, got ${child.dataType}")
 
   override def nullSafeEval(v: Any): Any =
-    SimHash64.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    SimHash64.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SimHash64.compute($c.toString())")
+      s"graft.functions.SimHash64.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -72,19 +72,29 @@ object SimHash64 {
   /** splitmix64 finalizer (single definition: graft.util.SplitMix). */
   @inline private def mix(x0: Long): Long = graft.util.SplitMix.finalizeMix(x0)
 
-  def compute(text: String): Long = {
+  /** Zero-copy hot path: hashes the UTF8String's bytes in place instead
+    * of decoding a full java.lang.String per document (the dedup sweep
+    * calls this once per row — a UTF-16 copy is ~2x the document size
+    * in transient allocation inside whole-stage codegen). FNV-1a runs
+    * over UTF-8 BYTES (& 0xff): identical to the former char-based hash
+    * for ASCII text, a different (equally valid, engine-internal) value
+    * for multi-byte runes — no golden pins concrete values and the q18
+    * oracle re-derives banding from the dumped hashes. Token split on
+    * ASCII space/\n/\t/\r is byte-safe: UTF-8 continuation bytes never
+    * collide with ASCII values. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): Long = {
     val votes = new Array[Int](64)
     var start = 0
-    val n = text.length
+    val n = text.numBytes
     var i = 0
     while (i <= n) {
-      if (i == n || text.charAt(i) == ' ' || text.charAt(i) == '\n' ||
-          text.charAt(i) == '\t' || text.charAt(i) == '\r') {
+      val c = if (i == n) ' '.toByte else text.getByte(i)
+      if (c == ' ' || c == '\n' || c == '\t' || c == '\r') {
         if (i > start) {
-          // token hash: FNV-1a over chars then splitmix finalize
+          // token hash: FNV-1a over bytes then splitmix finalize
           var h = 0xcbf29ce484222325L
           var j = start
-          while (j < i) { h ^= text.charAt(j); h *= 0x100000001b3L; j += 1 }
+          while (j < i) { h ^= (text.getByte(j) & 0xff).toLong; h *= 0x100000001b3L; j += 1 }
           h = mix(h)
           var b = 0
           while (b < 64) {
@@ -101,6 +111,10 @@ object SimHash64 {
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  /** String convenience overload (tests, driver-side probes). */
+  def compute(text: String): Long =
+    compute(org.apache.spark.unsafe.types.UTF8String.fromString(text))
 
   /** Hamming distance between two simhashes (for near-dup thresholds). */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)

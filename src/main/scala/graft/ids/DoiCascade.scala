@@ -17,11 +17,13 @@ package graft.ids
   */
 object DoiCascade {
 
+  import scala.collection.immutable.SeqMap
+
   final case class DoiResult(identifier: String, identifierType: String)
 
   private val PriorityKeys = List("doi", "pdf2doi_identifier", "arxiv")
 
-  def fromMetadata(metadata: Map[String, String]): Option[DoiResult] =
+  def fromMetadata(metadata: SeqMap[String, String]): Option[DoiResult] =
     PriorityKeys.iterator
       .flatMap(k => metadata.get(k).filter(_.nonEmpty).map(v => DoiResult(v, k)))
       .nextOption()
@@ -32,9 +34,11 @@ object DoiCascade {
     * so only the LAST value's outcome survives; (b) the exclusion of
     * '/wps-journaldoi' is dead code there — pdfplumber metadata keys are
     * slash-stripped, so the comparison never matches and the value IS
-    * scanned. Metadata iterates in insertion order (VectorMap from
-    * PdfDoc), matching Python dict order. */
-  def fromInfoValues(metadata: Map[String, String]): Option[DoiResult] = {
+    * scanned. Last-value-wins makes iteration order CONTRACTUAL, so the
+    * parameter type is SeqMap — a hash-ordered Map (which scrambles
+    * beyond 4 entries) cannot be passed by accident; PdfDoc.metadata
+    * supplies document order, matching Python dict order. */
+  def fromInfoValues(metadata: SeqMap[String, String]): Option[DoiResult] = {
     var result: Option[DoiResult] = None
     metadata.foreach { case (_, v) =>
       result = Identifiers.extract(v).map(id => DoiResult(id, "text"))
@@ -46,7 +50,7 @@ object DoiCascade {
     Identifiers.extract(preprint).map(id => DoiResult(id, "text"))
 
   /** Full cascade over already-parsed metadata + text. */
-  def apply(metadata: Map[String, String], preprint: String): Option[DoiResult] =
+  def apply(metadata: SeqMap[String, String], preprint: String): Option[DoiResult] =
     fromMetadata(metadata)
       .orElse(fromInfoValues(metadata))
       .orElse(fromText(preprint))

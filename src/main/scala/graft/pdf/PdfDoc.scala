@@ -187,9 +187,11 @@ final class PdfDoc(data: Array[Byte]) {
   }
 
   /** Info dictionary with pdfplumber-style keys (no leading slash),
-    * values as decoded strings. Reference consumer:
+    * values as decoded strings, in DOCUMENT order (SeqMap — the
+    * downstream DoiCascade value scan is last-value-wins, so order is
+    * contractual). Reference consumer:
     * /root/reference/src/doifrompdf.py:114-126. */
-  def metadata: Map[String, String] = {
+  def metadata: scala.collection.immutable.SeqMap[String, String] = {
     // outline (bookmark) items also carry /Title — a dict with tree-link
     // keys is navigation, not document metadata, and must not be promoted
     // to the Info dict by the fallback
@@ -216,7 +218,7 @@ final class PdfDoc(data: Array[Byte]) {
           }
           k.stripPrefix("/") -> sv
         }
-      case None => Map.empty
+      case None => scala.collection.immutable.SeqMap.empty
     }
   }
 

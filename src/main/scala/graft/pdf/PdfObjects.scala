@@ -24,7 +24,11 @@ final case class PStr(bytes: Array[Byte]) extends PObj {
 }
 final case class PName(v: String) extends PObj
 final case class PArr(v: Vector[PObj]) extends PObj
-final case class PDict(v: Map[String, PObj]) extends PObj {
+// SeqMap: Info-dict scans have last-value-wins semantics downstream
+// (DoiCascade.fromInfoValues), so iteration order is part of the
+// CONTRACT, not an accident of the Map implementation — the type makes
+// a hash-ordered map unrepresentable here
+final case class PDict(v: scala.collection.immutable.SeqMap[String, PObj]) extends PObj {
   def get(key: String): Option[PObj] = v.get(key)
 }
 final case class PRef(num: Int, gen: Int) extends PObj

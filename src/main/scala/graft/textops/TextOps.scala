@@ -81,11 +81,16 @@ object TextOps {
   }
 
   /** Parenthetical statistics spans: Python `re.findall(r"\(.*\=.*\)")`.
-    * Greedy, `.` does not cross newlines (same default in Java regex),
-    * non-overlapping left-to-right scan.
+    * Greedy, non-overlapping left-to-right scan. UNIX_LINES is LOAD-
+    * BEARING: Python's default `.` excludes ONLY \n, while Java's
+    * default also excludes \r, NEL (u0085), LS (u2028) and PS (u2029)
+    * — without the flag a CR-bearing span like "(m=3,\rsd=1)" matches
+    * in the reference but not here (differential fuzz: 8/4011
+    * divergent cases found).
     * Reference: /root/reference/src/docscraper.py:15 and :171.
     */
-  private val ParenStat = java.util.regex.Pattern.compile("\\(.*=.*\\)")
+  private val ParenStat = java.util.regex.Pattern.compile(
+    "\\(.*=.*\\)", java.util.regex.Pattern.UNIX_LINES)
 
   def parentheticals(text: String): List[String] = {
     val m = ParenStat.matcher(text)

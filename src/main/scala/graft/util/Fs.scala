@@ -7,10 +7,16 @@ package graft.util
   * scaladoc). Keep exactly one definition.
   */
 object Fs {
-  /** Best-effort recursive delete; does not follow symlinks out of the
-    * tree (listFiles returns the link itself, delete removes the link). */
+  /** Best-effort recursive delete that does NOT follow symlinks: a
+    * directory symlink inside the tree is deleted as a link, never
+    * descended — File.listFiles RESOLVES a symlink child and lists the
+    * TARGET's contents, so unguarded recursion deletes files outside
+    * the tree through the link (empirically confirmed; the callers pass
+    * user-supplied paths like Verify's outDir, where that is data
+    * loss). */
   def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
 }

@@ -71,6 +71,13 @@ class TextOpsSpec extends AnyFunSuite with TableDrivenPropertyChecks {
     assert(TextOps.parentheticals(text) == List("(d = 0.42) was large (n = 12)"))
     assert(TextOps.parentheticals("nothing") == Nil)
     assert(TextOps.parentheticals("(x=y)") == List("(x=y)"))
+    // Python's `.` excludes ONLY \n; Java's default also excludes \r,
+    // NEL, LS and PS — UNIX_LINES restores parity (differential fuzz
+    // found CR-bearing spans silently dropped without it)
+    assert(TextOps.parentheticals("(m=3,\rsd=1)") == List("(m=3,\rsd=1)"))
+    val ls = "(a=\u2028b)" // LS: a Java-only line terminator by default
+    assert(TextOps.parentheticals(ls) == List(ls))
+    assert(TextOps.parentheticals("(a=\nb)") == Nil) // \n still blocks
   }
 
   test("word-set load strips, lowers, dedups") {
