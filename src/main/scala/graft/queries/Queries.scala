@@ -676,14 +676,20 @@ object Queries {
     Q(
       "q15_lsh_near_dup",
       (s, dir) => Q15Result.get(s, dir) {
-        // the planted mutant ids live at +1000000; a fixture whose real
-        // ids reach that range would silently collide (and the oracle
-        // would make the SAME mistake, so verification could not catch
-        // it) — fail loudly instead
+        // planted mutant ids live at +offset — the smallest power of ten
+        // above max doc_id (min 1000000, the static value the oracle SQL
+        // hardcodes). Verify mode fails LOUDLY past that domain (the
+        // oracle would make the SAME collision mistake, so verification
+        // could not catch it); bench/scale corpora beyond 1M docs get a
+        // collision-free offset instead of a refused run (q26 pattern).
         val maxId = t(s, dir, "documents")
           .agg(max("doc_id")).head().getLong(0)
-        require(maxId < 1000000L,
-          s"q15 mutant-id offset collides: max doc_id $maxId >= 1000000")
+        var mOff = 1000000L
+        while (mOff <= maxId) mOff *= 10L
+        if (auxDumpEnabled)
+          require(mOff == 1000000L,
+            s"q15 oracle domain exceeded: offset=$mOff (static oracle SQL " +
+              "assumes +1000000; verify runs need doc ids < 1000000)")
         // release-first (SwapCache.release scaladoc): persisting a plan
         // identical to the previous generation's would dedup into the old
         // CacheManager entry that swap() then kills
@@ -694,7 +700,7 @@ object Queries {
         // scan+tokenize+md5 three times (at scale: a materialized
         // signature table)
         val aug = base.unionByName(
-              base.selectExpr("id + 1000000 AS id", "slice(toks, 2, size(toks)) AS toks"))
+              base.selectExpr(s"id + $mOff AS id", "slice(toks, 2, size(toks)) AS toks"))
             .selectExpr("id", s"$sparkShingles AS sh")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // minhash_bands: one pass over raw md5 digests, byte-identical
@@ -1921,10 +1927,15 @@ object Queries {
     * gate would admit J just below tau that the filters legitimately
     * never propose, breaking the equals-brute-force contract. The
     * result EQUALS brute force (no recall parameter, unlike LSH);
-    * the cost is data-dependent (sum of C(prefix-bucket, 2)) — on
-    * Zipfian real-text gram spaces rare grams keep buckets small, on
-    * adversarially small gram spaces the exact join is inherently
-    * candidate-heavy and q15's LSH is the scale path (both documented
+    * the cost is data-dependent (sum of C(prefix-bucket, 2)), and
+    * exact tau-Jaccard PAIR LISTING also carries an OUTPUT lower
+    * bound: a measured Zipf(1.1)-vocabulary probe grew true pairs
+    * ~8x per 4x docs (short head-word documents genuinely are
+    * near-identical), which no exact algorithm can beat. The 100 TB
+    * usage is therefore blocked: run the exact join within bounded
+    * blocks (per-domain, per-LSH-bucket — q15's confirm stage IS this
+    * composition); standalone q41 fits bounded or diverse-gram
+    * corpora, and q15's LSH is the scale path otherwise (documented
     * tradeoffs of the AllPairs family). All ceil() terms stay in
     * integer arithmetic in BOTH dialects — float tau*sz rounds UP
     * through binary representation (0.8*5 = 4.000000000000001). */
@@ -1934,10 +1945,16 @@ object Queries {
     Q(
       "q41_jaccard_join",
       (s, dir) => {
+        // scaled mutant-id offset + loud verify-mode guard (q15/q26
+        // pattern: oracle SQL statically assumes +1000000)
         val maxId = t(s, dir, "documents")
           .agg(max("doc_id")).head().getLong(0)
-        require(maxId < 1000000L,
-          s"q41 mutant-id offset collides: max doc_id $maxId >= 1000000")
+        var mOff = 1000000L
+        while (mOff <= maxId) mOff *= 10L
+        if (auxDumpEnabled)
+          require(mOff == 1000000L,
+            s"q41 oracle domain exceeded: offset=$mOff (static oracle SQL " +
+              "assumes +1000000; verify runs need doc ids < 1000000)")
         // release-first (SwapCache.release scaladoc)
         SwapCache.release("q41")
         val base = t(s, dir, "documents")
@@ -1945,7 +1962,7 @@ object Queries {
         // grams feeds the posting explode AND both confirm sides;
         // prefix feeds both sides of the candidate self-join
         val grams = base.unionByName(
-            base.selectExpr("id + 1000000 AS id", "slice(toks, 2, size(toks)) AS toks"))
+            base.selectExpr(s"id + $mOff AS id", "slice(toks, 2, size(toks)) AS toks"))
           .selectExpr("id", s"$sparkBigrams AS gs")
           .withColumn("sz", expr("size(gs)"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
