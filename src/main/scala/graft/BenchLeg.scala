@@ -17,6 +17,14 @@ import graft.corpus.CorpusGen
   *     `LEG_RUNS=` (wall sec per run), `LEG_GC=` (GC-time delta ms per
   *     run via GarbageCollectorMXBean), `LEG_TASKMED=`/`LEG_TASKMAX=`
   *     (parse-stage task-skew ms per run).
+  *
+  * A 6th arg selects the ROUTING under measurement (round-5 verdict #2:
+  * the skew/heavy legs ran in the query-suite-aged parent JVM and their
+  * numbers inverted — they now get the headline's pinned-fresh-child
+  * discipline): `none` (default; the headline's as-stored layout),
+  * `salted` (the pipeline's own url-hash repartition), `domain`
+  * (partition by raw domain — the pathological hot-domain layout the
+  * salting defends against).
   */
 object BenchLeg {
   def main(args: Array[String]): Unit = {
@@ -25,6 +33,7 @@ object BenchLeg {
     val cpus = args(2).toInt
     val iters = args(3).toInt
     val rich = args.length > 4 && args(4) == "rich"
+    val route = if (args.length > 5) args(5) else "none"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,9 +41,13 @@ object BenchLeg {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // ONE shared leg body with the parent's diagnostic/skew legs —
+    // ONE shared leg body with the parent's diagnostic/fallback legs —
     // parent-vs-child must compare the identical computation
-    def leg(path: String): Long = BenchCommon.countOk(spark, path, 0)
+    def leg(path: String): Long = route match {
+      case "domain" => BenchCommon.countOkDomainPartitioned(spark, path, cpus)
+      case "salted" => BenchCommon.countOk(spark, path, cpus)
+      case _        => BenchCommon.countOk(spark, path, 0)
+    }
     val listener = new TaskTimeListener
     if (rich) spark.sparkContext.addSparkListener(listener)
     leg(warmPath); leg(pagesPath) // JIT warm

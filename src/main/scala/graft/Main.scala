@@ -118,12 +118,23 @@ object Main {
     Right(a)
   }
 
+  /** Bad USER input at the run()/snapshot() validation seams. A subtype
+    * of IllegalArgumentException so programmatic callers (and the CliSpec
+    * intercepts) keep seeing an IAE — but execute() catches exactly THIS
+    * type for its clean error+usage+exit-2 path (round-5 ADVICE: Spark
+    * and library internals also throw IAE, e.g. config/require failures
+    * deep in a mode run, and a blanket catch misreported a genuine
+    * internal bug as bad user input and discarded its stack trace). */
+  private[graft] final class UsageError(msg: String) extends IllegalArgumentException(msg)
+  private def usageRequire(cond: Boolean, msg: => String): Unit =
+    if (!cond) throw new UsageError(msg)
+
   private def snapshot(spark: SparkSession, args: CliArgs, name: String): DataFrame = {
-    require(args.snapshots.nonEmpty,
+    usageRequire(args.snapshots.nonEmpty,
       s"mode '${args.mode}' needs --snapshots DIR containing $name.parquet " +
         "(the offline stand-in for the reference's network lookup; see README)")
     val p = new java.io.File(args.snapshots, s"$name.parquet")
-    require(p.exists, s"snapshot table not found: $p")
+    usageRequire(p.exists, s"snapshot table not found: $p")
     spark.read.parquet(p.toString)
   }
 
@@ -135,13 +146,13 @@ object Main {
     * the JVM; [[main]] adds the session, export and cache release. */
   def run(spark: SparkSession, args: CliArgs,
       today: java.time.LocalDate = java.time.LocalDate.now()): DataFrame = {
-    require(args.mode.nonEmpty,
+    usageRequire(args.mode.nonEmpty,
       s"missing -m/--mode (one of ${ModeNames.mkString(", ")})")
     // parse() already validates the choice, but run() is public API for
     // programmatic CliArgs too — fail pointedly, not with a MatchError
-    require(ModeNames.contains(args.mode),
+    usageRequire(ModeNames.contains(args.mode),
       s"invalid mode '${args.mode}' (one of ${ModeNames.mkString(", ")})")
-    require(args.file.nonEmpty, "missing -f/--file (the target csv/txt/pdf dir)")
+    usageRequire(args.file.nonEmpty, "missing -f/--file (the target csv/txt/pdf dir)")
     val target = words(spark, args.targetPath, CorpusGen.TargetWords)
     val bycatch = words(spark, args.bycatchPath, CorpusGen.BycatchWords)
     args.mode match {
@@ -196,14 +207,14 @@ object Main {
         val s = spark
         s.sparkContext.setLogLevel(if (args.debug) "INFO" else "WARN")
         try {
-          // run()/snapshot() validate user input via require (missing -f,
-          // missing --snapshots, absent snapshot table): those are CLI
-          // usage errors, and must take the same clean error+usage+exit-2
-          // path as flag parse errors — not a raw stack trace
+          // run()/snapshot() signal bad user input (missing -f, missing
+          // --snapshots, absent snapshot table) as UsageError: those take
+          // the same clean error+usage+exit-2 path as flag parse errors.
+          // Any OTHER exception — including Spark-internal IAEs — is a
+          // real bug and propagates with its stack trace.
           val out =
             try run(s, args, today)
-            catch { case e: IllegalArgumentException =>
-              return Left(e.getMessage.stripPrefix("requirement failed: ")) }
+            catch { case e: UsageError => return Left(e.getMessage) }
           val n = out.count()
           val exportLine =
             if (args.export) {

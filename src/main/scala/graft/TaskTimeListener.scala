@@ -66,6 +66,20 @@ private[graft] object BenchCommon {
     import spark.implicits._
     countOk(spark.read.parquet(path).as[PageRecord], numPartitions)
   }
+
+  /** The skew-evidence CONTROL leg: same pages, but partitioned by raw
+    * domain (the pathological layout — one task owns the hot domain)
+    * instead of the pipeline's salted url-hash routing. One shared body
+    * so the parent fallback and the pinned BenchLeg child measure the
+    * identical computation. */
+  def countOkDomainPartitioned(spark: SparkSession, path: String, parts: Int): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val byDomain = spark.read.parquet(path).as[PageRecord]
+      .repartition(parts, expr("regexp_extract(url, 'd([0-9]+)', 1)"))
+      .as[PageRecord]
+    countOk(byDomain, 0)
+  }
 }
 
 /** Process CPU time in ms (com.sun OperatingSystemMXBean; -1 when the

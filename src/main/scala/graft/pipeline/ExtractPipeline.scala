@@ -114,9 +114,12 @@ object ExtractPipeline {
   }
 
   /** Byte-identical verification: extracted vs golden per url.
-    * Returns (url, kind, matched) — the north rule's correctness gate. */
+    * Returns (url, kind, matched) — the north rule's correctness gate.
+    * `extracted` is any frame with (url, kind, extracted_text) — the
+    * typed pipeline output or q17's parquet read-back (Dataset[_] so the
+    * dump-re-derive oracle path needs no .toDF at every call site). */
   def verifyAgainstGoldens(
-      extracted: Dataset[ExtractedDoc],
+      extracted: Dataset[_],
       goldens: DataFrame): DataFrame = {
     val e = extracted.toDF.select(
       col("url"), col("kind"), col("extracted_text").as("got"))

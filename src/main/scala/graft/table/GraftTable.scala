@@ -174,11 +174,30 @@ object GraftTable {
     val stagedRoot = s"$root/staged"
     if (stageInput) {
       val marker = new org.apache.hadoop.fs.Path(s"$stagedRoot/_GRAFT_STAGED")
-      if (!hfs.exists(marker)) {
+      // the marker carries an input FINGERPRINT (row count — round-5
+      // ADVICE): a bare marker committed the staged projection forever,
+      // so a resume invoked with a changed/extended `pages` input
+      // silently served the STALE staged rows for pending buckets. The
+      // count is cheap (no columns read on columnar sources) and catches
+      // the grown/shrunk-input case; a same-count in-place mutation is
+      // still undetected — input immutability at equal cardinality stays
+      // a documented contract of the staged path.
+      val inputCount = pages.count()
+      val markerOk = hfs.exists(marker) && {
+        val in = hfs.open(marker)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        txt.toLongOption.contains(inputCount)
+      }
+      if (!markerOk) {
         val stagedPath = new org.apache.hadoop.fs.Path(stagedRoot)
         if (hfs.exists(stagedPath)) hfs.delete(stagedPath, true)
         withBucket.write.partitionBy("bucket").parquet(stagedRoot)
-        hfs.create(marker, true).close()
+        val out = hfs.create(marker, true)
+        try out.write(inputCount.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
       }
     }
     def waveInput(wave: Seq[Int]): Dataset[PageRecordWithBucket] =

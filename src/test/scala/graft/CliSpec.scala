@@ -122,6 +122,16 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
     // of escaping as a stack trace
     val res = Main.execute(Seq("-m", "citations", "-f", csv.toString), spark, today)
     assert(res.isLeft)
+    // round-5 ADVICE pin: execute converts exactly UsageError to that
+    // route. The validation seams throw UsageError (asserted here), and
+    // UsageError is an IAE subtype so programmatic API callers keep
+    // intercepting IllegalArgumentException — while a PLAIN internal IAE
+    // from Spark or library code no longer matches execute's catch and
+    // propagates with its stack trace.
+    assert(classOf[IllegalArgumentException]
+      .isAssignableFrom(classOf[Main.UsageError]))
+    val ue = intercept[Main.UsageError](Main.run(spark, args, today))
+    assert(ue.getMessage.contains("--snapshots"))
     assert(res.swap.toOption.get.contains("--snapshots"))
     assert(!res.swap.toOption.get.startsWith("requirement failed"))
   }

@@ -120,6 +120,45 @@ class GraftTableSpec extends AnyFunSuite with SparkTestBase {
     assert(tbl(rootB) == tbl(rootA), "staged and unstaged tables differ")
   }
 
+  test("staged input: a changed input rebuilds the stage instead of serving stale rows") {
+    // round-5 ADVICE: the bare _GRAFT_STAGED marker committed the staged
+    // projection forever, so a resume with an EXTENDED input silently
+    // served the stale staged rows for pending buckets. The marker now
+    // records an input row-count fingerprint and a disagreement restages.
+    val target = CorpusGen.TargetWords.toSet
+    val bycatch = CorpusGen.BycatchWords.toSet
+    val pages160 = ExtractPipeline.pages(spark, 160, 4)
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl_restage").toString
+    intercept[RuntimeException] {
+      GraftTable.runResumable(spark, pages160, root, nBuckets = 8, bucketsPerWave = 2,
+        target, bycatch, tasksPerWave = 4, failAfterWaves = 2, stageInput = true)
+    }
+    val done = spark.read.parquet(s"$root/data")
+      .select("bucket").distinct().collect().map(_.getAs[Number](0).intValue).toSet
+    // resume with 40 MORE input docs: fingerprint 160 != 200 -> restage
+    val pages200 = ExtractPipeline.pages(spark, 200, 4)
+    GraftTable.runResumable(spark, pages200, root, nBuckets = 8, bucketsPerWave = 2,
+      target, bycatch, tasksPerWave = 4, attempt = 2, stageInput = true)
+    val marker = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/staged/_GRAFT_STAGED")).trim
+    assert(marker == "200", s"marker fingerprint not rewritten: '$marker'")
+    // every NEW url whose bucket was still pending at the crash must be
+    // served from the REBUILT stage (the stale stage had none of them);
+    // new urls in already-committed buckets stay excluded — that is the
+    // resumable contract, not staleness
+    val newUrls = pages200.select("url").except(pages160.select("url"))
+      .collect().map(_.getString(0)).toSet
+    val bucketOfUrl = spark.read.parquet(s"$root/staged")
+      .select("url", "bucket").collect()
+      .map(r => r.getString(0) -> r.getAs[Number](1).intValue).toMap
+    val expectedNew = newUrls.filter(u => !done(bucketOfUrl(u)))
+    val finalUrls = spark.read.parquet(s"$root/data")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(expectedNew.nonEmpty)
+    val missing = expectedNew.filterNot(finalUrls)
+    assert(missing.isEmpty, s"stale staged rows served: missing ${missing.take(3)}")
+  }
+
   test("snapshot read: all-empty-bucket snapshot is an empty table, not an error") {
     // runResumable legitimately commits waves whose buckets hold zero pages
     // (it writes zero-row lineage for them); the snapshot then records

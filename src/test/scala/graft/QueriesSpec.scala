@@ -87,13 +87,13 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
 
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Queries.all.count(_.oracle.isDefined)
-    // 41 queries, 40 oracled; q17 is the one genuinely non-SQL
-    // end-to-end pipeline (byte-identical extraction), pinned by sbt
-    // goldens instead. q27/q40 gained dump-re-derive oracles in round 5,
-    // q19 re-derives its lineage aggregates from the dumped data table
-    // (resume/crash semantics stay law-pinned in GraftTableSpec), and
-    // q41 (prefix-filtered jaccard join) arrived fully oracled.
-    assert(withOracle == 40)
+    // 41 queries, ALL 41 oracled as of round 6: q17 — the last no_oracle
+    // row — gained a dump-re-derive oracle (extracted + golden texts
+    // dumped verbatim, DuckDB re-derives the full-outer join and the
+    // per-kind byte-identical rollup); the extraction ALGORITHMS stay
+    // pinned by the sbt golden byte-equality suite. q27/q40/q19 gained
+    // their dump-re-derive oracles in round 5.
+    assert(withOracle == 41)
     // no duplicate query names (the Map would silently collapse them and
     // the driver would lose a query)
     assert(SparkEntry.queries.size == Queries.all.size)
@@ -392,5 +392,19 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(readSchema.contains("l_shipdate"))
     assert(!readSchema.contains("l_extendedprice"),
       s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("mutant-id offset scales by powers of ten and refuses overflow-risk id spaces") {
+    // inside the oracle domain: the static floor survives untouched
+    assert(Queries.mutantOffset(1000000L, 999999L) == 1000000L)
+    // at/above the floor: grow to the next power of ten ABOVE max id
+    assert(Queries.mutantOffset(1000000L, 1000000L) == 10000000L)
+    assert(Queries.mutantOffset(100000L, 123456789L) == 1000000000L)
+    // round-5 ADVICE: past ~1e18 the multiply would overflow Long and
+    // wrap into a colliding / never-terminating offset — fail loudly
+    intercept[IllegalArgumentException](
+      Queries.mutantOffset(1000000L, Long.MaxValue))
+    intercept[IllegalArgumentException](
+      Queries.mutantOffset(1000000L, 100000000000000000L))
   }
 }
