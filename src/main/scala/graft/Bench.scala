@@ -200,17 +200,25 @@ object Bench {
     // so accumulated parent state (heap, codegen caches, GC debt from 38
     // queries) cannot contaminate the record; per-run times + GC deltas +
     // task skew are published verbatim.
+    // ONE decoder for BenchLeg's LEG_* stdout protocol, shared by the
+    // headline and every rich leg (round-6 review: two drifting copies
+    // of the same regex/split/Try parsing)
+    def legRuns(out: String): Seq[Double] =
+      "LEG_RUNS=([0-9.,-]+)".r.findFirstMatchIn(out)
+        .map(_.group(1).split(',').toSeq.flatMap(x => scala.util.Try(x.toDouble).toOption))
+        .getOrElse(Seq.empty)
+    def legArr(out: String, tag: String): Seq[Long] =
+      s"$tag=([0-9.,-]+)".r.findFirstMatchIn(out)
+        .map(_.group(1).split(',').toSeq.flatMap(x => scala.util.Try(x.toLong).toOption))
+        .getOrElse(Seq.empty)
+
     val childOut = spawnLeg(cpus, iters = 5, rich = true, heap = "8g")
-    def childSeq(tag: String): Seq[String] =
-      s"$tag=([0-9.,-]+)".r.findFirstMatchIn(childOut)
-        .map(_.group(1).split(',').toSeq).getOrElse(Seq.empty)
-    val childRuns = childSeq("LEG_RUNS").flatMap(x => scala.util.Try(x.toDouble).toOption)
-    val childGc = childSeq("LEG_GC").flatMap(x => scala.util.Try(x.toLong).toOption)
-    val childTaskMed = childSeq("LEG_TASKMED").flatMap(x => scala.util.Try(x.toLong).toOption)
-    val childTaskMax = childSeq("LEG_TASKMAX").flatMap(x => scala.util.Try(x.toLong).toOption)
-    val childCpu = childSeq("LEG_CPU").flatMap(x => scala.util.Try(x.toLong).toOption)
-    childSeq("LEG_OK").flatMap(x => scala.util.Try(x.toLong).toOption)
-      .headOption.foreach(okHi = _)
+    val childRuns = legRuns(childOut)
+    val childGc = legArr(childOut, "LEG_GC")
+    val childTaskMed = legArr(childOut, "LEG_TASKMED")
+    val childTaskMax = legArr(childOut, "LEG_TASKMAX")
+    val childCpu = legArr(childOut, "LEG_CPU")
+    legArr(childOut, "LEG_OK").headOption.foreach(okHi = _)
     val (headlineMode, headlineRuns, headlineGc, headlineTaskMed, headlineTaskMax, headlineCpu) =
       if (childRuns.size == 5)
         ("pinned_child", childRuns, childGc, childTaskMed, childTaskMax, childCpu)
@@ -239,8 +247,10 @@ object Bench {
     val medianIdxH = headlineRuns.zipWithIndex.sortBy(_._1)
       .apply(headlineRuns.length / 2)._2
     val tHiAtCpus = headlineRuns(medianIdxH)
-    val medianTaskMs = headlineTaskMed.lift(medianIdxH).getOrElse(0L)
-    val maxTaskMs = headlineTaskMax.lift(medianIdxH).getOrElse(0L)
+    // -1 = telemetry not available (truncated child output), the same
+    // sentinel the legs use — 0 would read as a measured sub-ms skew
+    val medianTaskMs = headlineTaskMed.lift(medianIdxH).getOrElse(-1L)
+    val maxTaskMs = headlineTaskMax.lift(medianIdxH).getOrElse(-1L)
 
     /** One measurement leg with the headline's full telemetry channel
       * (round-4 verdict #1: legs that publish only wall/task times cannot
@@ -264,23 +274,22 @@ object Bench {
     def richChildLeg(c: Int, iters: Int, heap: String, path: String,
         route: String)(fallbackLeg: => Leg): Leg = {
       val legOut = spawnLeg(c, iters, rich = true, heap, path, route)
-      def arr(tag: String): Seq[Long] =
-        s"$tag=([0-9.,-]+)".r.findFirstMatchIn(legOut)
-          .map(_.group(1).split(',').toSeq.flatMap(x => scala.util.Try(x.toLong).toOption))
-          .getOrElse(Seq.empty)
-      val runs = "LEG_RUNS=([0-9.,-]+)".r.findFirstMatchIn(legOut)
-        .map(_.group(1).split(',').toSeq.flatMap(x => scala.util.Try(x.toDouble).toOption))
-        .getOrElse(Seq.empty)
+      val runs = legRuns(legOut)
       if (runs.nonEmpty) {
         val mi = runs.zipWithIndex.sortBy(_._1).apply(runs.length / 2)._2
         Leg(runs(mi),
-          arr("LEG_GC").lift(mi).getOrElse(-1L), arr("LEG_CPU").lift(mi).getOrElse(-1L),
-          arr("LEG_TASKMED").lift(mi).getOrElse(-1L), arr("LEG_TASKMAX").lift(mi).getOrElse(-1L),
+          legArr(legOut, "LEG_GC").lift(mi).getOrElse(-1L),
+          legArr(legOut, "LEG_CPU").lift(mi).getOrElse(-1L),
+          legArr(legOut, "LEG_TASKMED").lift(mi).getOrElse(-1L),
+          legArr(legOut, "LEG_TASKMAX").lift(mi).getOrElse(-1L),
           fallback = false)
       } else fallbackLeg
     }
     /** In-process fallback body for the skew/heavy legs: same shared
-      * BenchCommon computation, parent listener task skew, labeled. */
+      * BenchCommon computation, parent listener task skew, labeled. The
+      * route -> computation map MIRRORS BenchLeg's exactly (round-6
+      * review: a "none" fallback that salted would silently measure a
+      * different plan than the pinned child it stands in for). */
     def parentParseLeg(path: String, route: String): Leg = {
       listener.clear()
       val gc0 = GcClock.ms
@@ -288,7 +297,8 @@ object Bench {
       val sec = timeSec {
         (route match {
           case "domain" => BenchCommon.countOkDomainPartitioned(spark, path, cpus)
-          case _        => BenchCommon.countOk(spark, path, cpus)
+          case "salted" => BenchCommon.countOk(spark, path, cpus)
+          case _        => BenchCommon.countOk(spark, path, 0)
         }): Unit
       }
       val gcMs = GcClock.ms - gc0

@@ -167,6 +167,13 @@ object ScaleBench {
             -1L
           }
         val sec = (System.nanoTime() - t0) / 1e9
+        // drop this query's SwapCache generation before the next query
+        // is timed (Bench's suite-loop discipline): at x100 q15's
+        // persisted aug+sigs tables are GBs, and holding them under
+        // q25/q26 measures eviction pressure, not the next query.
+        // Q15Result (the pairs table q25 consumes) survives — releasing
+        // it would re-run the whole LSH pipeline inside q25's CC hops.
+        Queries.releaseSwapCaches()
         (name, sec, rows)
       }
     }.toMap

@@ -232,19 +232,26 @@ object Queries {
       * disjoint; the re-build cost between generations is paid, which is
       * the swap contract anyway. */
     def release(key: String): Unit = swap(key)()
-    def releaseAll(): Unit = synchronized { last.keys.toList.foreach(release) }
+    def releaseAll(blocking: Boolean): Unit = synchronized {
+      last.values.flatten.foreach(d => scala.util.Try(d.unpersist(blocking)))
+      last = Map.empty
+    }
   }
 
   /** Drop every live SwapCache generation (q15/q24/q26/q41 signature /
     * prefix intermediates). Bench calls this BETWEEN suite queries so the
     * parent JVM never holds four generations of MEMORY_AND_DISK blocks at
     * once — the round-5 driver run's q41 ran 15x slow under exactly that
-    * accumulated eviction/spill pressure. Q15Result (the confirmed-pairs
-    * RESULT cache q25 consumes) is deliberately NOT dropped here: it is a
-    * few hundred rows, and dropping it would re-run the whole LSH
-    * pipeline inside q25's every CC hop (the round-1 46%-of-wall
-    * pathology). */
-  private[graft] def releaseSwapCaches(): Unit = SwapCache.releaseAll()
+    * accumulated eviction/spill pressure. BLOCKING unpersist (round-6
+    * review): the in-query release-first path stays async by design, but
+    * a harness release exists to put eviction work OUTSIDE the next
+    * query's timed window — a fire-and-forget unpersist would let block
+    * removal overlap the next t0 and defeat the point. Q15Result (the
+    * confirmed-pairs RESULT cache q25 consumes) is deliberately NOT
+    * dropped here: it is a few hundred rows, and dropping it would
+    * re-run the whole LSH pipeline inside q25's every CC hop (the
+    * round-1 46%-of-wall pathology). */
+  private[graft] def releaseSwapCaches(): Unit = SwapCache.releaseAll(blocking = true)
 
   /** Cache of q15's CONFIRMED-PAIR result, keyed by (session, sf dir):
     * q25's connected components consume exactly these edges, so a bench /

@@ -177,25 +177,30 @@ object GraftTable {
       // the marker carries an input FINGERPRINT (row count — round-5
       // ADVICE): a bare marker committed the staged projection forever,
       // so a resume invoked with a changed/extended `pages` input
-      // silently served the STALE staged rows for pending buckets. The
-      // count is cheap (no columns read on columnar sources) and catches
-      // the grown/shrunk-input case; a same-count in-place mutation is
-      // still undetected — input immutability at equal cardinality stays
-      // a documented contract of the staged path.
-      val inputCount = pages.count()
+      // silently served the STALE staged rows for pending buckets.
+      // Cost, honestly (round-6 review): validating the marker is one
+      // count() job over the input per resume — footer-metadata-cheap
+      // for file-backed columnar sources (the production shape), but a
+      // full synthesis pass for generator-backed datasets — versus the
+      // unstaged path's O(waves x input). A same-count in-place mutation
+      // is still undetected — input immutability at equal cardinality
+      // stays a documented contract of the staged path.
       val markerOk = hfs.exists(marker) && {
         val in = hfs.open(marker)
         val txt =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
-        txt.toLongOption.contains(inputCount)
+        txt.toLongOption.contains(pages.count())
       }
       if (!markerOk) {
         val stagedPath = new org.apache.hadoop.fs.Path(stagedRoot)
         if (hfs.exists(stagedPath)) hfs.delete(stagedPath, true)
         withBucket.write.partitionBy("bucket").parquet(stagedRoot)
+        // no second input pass here: rows written == input rows, and the
+        // staged parquet's own count is footer-metadata-only
+        val stagedCount = spark.read.parquet(stagedRoot).count()
         val out = hfs.create(marker, true)
-        try out.write(inputCount.toString.getBytes(
+        try out.write(stagedCount.toString.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
       }
