@@ -126,7 +126,17 @@ object HtmlParser {
             }
           }
           stack.top.append(elem)
-          if (!selfClosed && !VoidTags.contains(tag)) {
+          // HTML5 tree construction IGNORES the self-closing flag on
+          // non-void HTML elements ('<title/>Actual</title>' is a title
+          // with text, not an empty one) — it is honored only in FOREIGN
+          // content (svg/math, where '<path/>' really is closed). The
+          // reference's selectolax/lexbor engine is HTML5-compliant, so
+          // honoring '/' on '<title/>' or '<script/>' diverged from it:
+          // title text fell into body and script-adjacent markup leaked
+          // into extracted text (round-6 review).
+          val foreign = tag == "svg" || tag == "math" ||
+            stack.exists(e => e.tag == "svg" || e.tag == "math")
+          if (!(selfClosed && foreign) && !VoidTags.contains(tag)) {
             if (RawTextTags.contains(tag)) {
               // raw text until the matching close tag. script/style are
               // RAWTEXT (no entity decoding); title/textarea are RCDATA —

@@ -673,7 +673,8 @@ object Queries {
     s"""base AS (SELECT doc_id AS id, $DuckToks AS toks FROM documents),
         aug0 AS (SELECT id, toks FROM base
                 UNION ALL SELECT id + 1000000 AS id, toks[2:] AS toks FROM base),
-        aug AS (SELECT id, $duckShingles AS sh FROM aug0),
+        aug AS (SELECT * FROM (SELECT id, $duckShingles AS sh FROM aug0)
+                WHERE len(sh) > 0),
         sigs0 AS (SELECT id,
             list_transform(sh, w -> md5(w) || md5(w || '#')) AS hs FROM aug),
         sigs AS (SELECT id, b,
@@ -732,9 +733,17 @@ object Queries {
         // of the jaccard join — persist it once instead of recomputing the
         // scan+tokenize+md5 three times (at scale: a materialized
         // signature table)
+        // shingle-less docs (< 3 tokens — empty/near-empty pages, the
+        // most common page class in real crawls) are excluded BEFORE
+        // banding: Jaccard over empty sets is 0/0, and without this
+        // filter >cap of them share one degenerate bucket whose star
+        // tier pairs them into NaN jaccards that abort the ANSI cast
+        // (round-6 review). Exact empty-duplicate detection is q13's
+        // job; mirrored in the oracle CTE (len(sh) > 0).
         val aug = base.unionByName(
               base.selectExpr(s"id + $mOff AS id", "slice(toks, 2, size(toks)) AS toks"))
             .selectExpr("id", s"$sparkShingles AS sh")
+            .filter("size(sh) > 0")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // minhash_bands: one pass over raw md5 digests, byte-identical
         // to the SQL lane construction (MinHashBands scaladoc); r=2
@@ -820,6 +829,12 @@ object Queries {
           "vec_id",
           QuantSpark)
         .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
+        // zero-norm rows (all-zero / sub-quantization embeddings — a
+        // padding or failed-encode row in a real dump) have no cosine to
+        // anything: 0/0 = NaN and the ANSI cast to cos_e6 would abort
+        // the query (round-6 review). Excluded here and in the oracle;
+        // same guard in q24/q26/q34.
+        .filter("nrm > 0")
       val probes = qq.filter(col("vec_id") < 100)
         .selectExpr("vec_id", "qv AS qa", "nrm AS na")
       val index = qq.selectExpr("vec_id AS neighbor_id", "qv AS qb", "nrm AS nb")
@@ -840,8 +855,9 @@ object Queries {
     Some(s"""WITH q AS (SELECT vec_id,
         $QuantDuck
       FROM embeddings),
-      qq AS (SELECT vec_id, qv,
-        CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS nrm FROM q),
+      qq AS (SELECT * FROM (SELECT vec_id, qv,
+        CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS nrm FROM q)
+        WHERE nrm > 0),
       pairs AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
           CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot,
           a.nrm AS na, b.nrm AS nb
@@ -1057,6 +1073,7 @@ object Queries {
             "vec_id",
             QuantSpark)
           .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
+          .filter("nrm > 0") // zero-norm guard (q16 scaladoc)
           .selectExpr(Seq("vec_id", "qv", "nrm") ++ sTabs: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         SwapCache.swap("q24")(qq)
@@ -1088,9 +1105,9 @@ object Queries {
       Some(s"""WITH q AS (SELECT vec_id,
           $QuantDuck
         FROM embeddings),
-        qq AS (SELECT vec_id, qv,
+        qq AS (SELECT * FROM (SELECT vec_id, qv,
           CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS nrm,
-          $dTabs FROM q),
+          $dTabs FROM q) WHERE nrm > 0),
         sigs AS ($dUnion),
         cand AS (SELECT DISTINCT s1.vec_id, s2.vec_id AS neighbor_id
           FROM sigs s1 JOIN sigs s2
@@ -1270,6 +1287,7 @@ object Queries {
         // persisted for the same reason as q24's qq (4 consumers)
         val qq = aug
           .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
+          .filter("nrm > 0") // zero-norm guard (q16 scaladoc)
           .selectExpr(Seq("id", "qv", "nrm") ++ lsh.sTabs: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         SwapCache.swap("q26")(qq)
@@ -1291,9 +1309,9 @@ object Queries {
         FROM embeddings),
         aug AS (SELECT id, qv FROM q
                 UNION ALL SELECT id + 100000 AS id, $perturbDuck AS qv FROM q),
-        qq AS (SELECT id, qv,
+        qq AS (SELECT * FROM (SELECT id, qv,
           CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS nrm,
-          $dTabs FROM aug),
+          $dTabs FROM aug) WHERE nrm > 0),
         sigs AS ($dUnion),
         cand AS (SELECT DISTINCT s1.id AS id_a, s2.id AS id_b
           FROM sigs s1 JOIN sigs s2
@@ -1608,6 +1626,8 @@ object Queries {
           "vec_id",
           QuantSpark)
         .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
+        .filter("nrm > 0") // zero-norm guard (q16 scaladoc) — a zero
+        // CENTROID would NaN every row's assignment expression
       // bounded driver collect: exactly k centroid rows
       val centroids = qq.filter(col("vec_id") < k)
         .selectExpr("vec_id", "qv", "nrm").collect()
@@ -1653,8 +1673,9 @@ object Queries {
     Some(s"""WITH q AS (SELECT vec_id,
         $QuantDuck
       FROM embeddings),
-      qq AS (SELECT vec_id, qv,
-        CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS nrm FROM q),
+      qq AS (SELECT * FROM (SELECT vec_id, qv,
+        CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS nrm FROM q)
+        WHERE nrm > 0),
       cent AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM qq WHERE vec_id < 16),
       assign AS (SELECT vec_id, cid, qv, nrm,
           CAST(dotc AS DOUBLE) / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) AS cosc,
@@ -1768,10 +1789,11 @@ object Queries {
     (s, _) => {
       import s.implicits._
       val root = new java.io.File(s"$AuxDir/q37_pdfs")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(root)
+      // the ONE shared recursive delete — its symlink guard matters here
+      // especially, since this fixed reused path is cleared on every
+      // invocation (round-6 review: a drifted local copy recursed
+      // THROUGH dir symlinks, deleting target files outside the tree)
+      graft.util.Fs.deleteRecursively(root)
       val manifest = (0 until 40).map { i =>
         val sub = new java.io.File(root, s"d${i % 4}")
         sub.mkdirs()
@@ -1948,10 +1970,7 @@ object Queries {
         import scala.jdk.CollectionConverters._
         s.createDataFrame(rollup.collect().toSeq.asJava, schema)
       } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(base.toFile)
+        graft.util.Fs.deleteRecursively(base.toFile)
       }
     },
     Some(s"""WITH sink AS (SELECT * FROM read_parquet('$AuxDir/q40_sink/*.parquet')),

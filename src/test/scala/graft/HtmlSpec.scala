@@ -86,6 +86,32 @@ class HtmlSpec extends AnyFunSuite {
     assert(Boilerplate.findTitle(t).contains("a</titleX>b"))
   }
 
+  test("self-closing syntax is ignored on HTML non-void elements, honored in foreign content") {
+    // HTML5 tree construction (and the reference's selectolax/lexbor
+    // engine): '/' on a non-void HTML start tag is IGNORED — '<title/>'
+    // still enters RCDATA and owns the following text (round-6 review:
+    // honoring it dropped XHTML-styled titles into body)
+    val d = HtmlParser.parse(
+      "<html><head><title/>Actual Title</title></head><body><p>x</p></body></html>")
+    assert(Boilerplate.findTitle(d).contains("Actual Title"))
+    // '<script/>' is RAWTEXT until a real closer — markup after it must
+    // not leak into extracted text
+    val s = HtmlParser.parse(
+      """<body><script src="x.js"/>var leaked = "<b>no</b>";</script>""" +
+        "<p>kept paragraph with plenty of words so the boilerplate " +
+        "classifier scores this block as the page's main content</p></body>")
+    val ex = Boilerplate.extract(s)
+    assert(!ex.mainText.contains("leaked"))
+    assert(ex.mainText.contains("kept"))
+    // but in FOREIGN content (svg/math) self-closing is real: '<path/>'
+    // closes, so the sibling text is NOT swallowed into the path element
+    val f = HtmlParser.parse(
+      "<body><svg><path d='M0 0'/></svg><p>after the svg a long enough " +
+        "paragraph of real words that the classifier keeps as main text</p></body>")
+    assert(Selectors.cssFirst(f, "path").get.text() == "")
+    assert(Boilerplate.extract(f).mainText.contains("after the svg"))
+  }
+
   test("pathologically deep nesting degrades gracefully, never kills the task") {
     val deep = "<body>" + "<div>" * 100000 + "content here that is long enough to score" +
       "</div>" * 100000 + "</body>"

@@ -407,4 +407,56 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       Queries.mutantOffset(1000000L, 100000000000000000L))
   }
+
+  test("q15 excludes shingle-less docs (empty pages) instead of NaN-aborting") {
+    // >BucketCap docs with < 3 tokens — the most common page class in a
+    // real crawl. Before the size(sh)>0 filter they all shared one
+    // degenerate bucket whose star tier paired them into 0/0-Jaccard
+    // NaNs, and Spark 4's ANSI CAST(FLOOR(NaN) AS BIGINT) aborted the
+    // whole query (round-6 review).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptydoc").toString
+    val docs = (0L until 40L).map(id => (id, if (id % 2 == 0) "" else "one two")) ++
+      (40L until 45L).map(id =>
+        (id, "shared body text for the near dup gate with enough tokens"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pairs = Queries.all.find(_.name == "q15_lsh_near_dup").get
+      .fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the 5 identical full docs (and their mutants) still pair up...
+    assert(pairs.nonEmpty, "normal near-dups lost")
+    // ...but no pair touches a shingle-less doc (ids 0-39 or their
+    // +1e6 mutants): Jaccard over empty shingle sets is undefined, and
+    // exact empty-duplicate detection is q13's job
+    assert(pairs.forall { case (a, b) => a % 1000000L >= 40L && b % 1000000L >= 40L },
+      s"pairs touch shingle-less docs: ${pairs.filterNot { case (a, b) =>
+        a % 1000000L >= 40L && b % 1000000L >= 40L }.take(5).mkString(",")}")
+  }
+
+  test("zero-norm embeddings are excluded from the ANN/near-dup queries, not NaN-aborted") {
+    // one all-zero vector (a padding / failed-encode row): 0/0 cosine is
+    // NaN and the ANSI cast to cos_e6 aborted q16/q24/q26/q34 before the
+    // nrm > 0 guard (round-6 review)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zeronorm").toString
+    val rnd = new scala.util.Random(7)
+    (0 until 40).map { i =>
+      if (i == 3) (i.toLong, Array.fill(64)(0.0f))
+      else {
+        val v = Array.fill(64)(rnd.nextGaussian())
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (i.toLong, v.map(x => (x / nrm).toFloat))
+      }
+    }.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    for (q <- Seq("q16_ann_topk", "q24_ann_lsh", "q34_ann_ivf", "q26_embed_near_dup")) {
+      val out = Queries.all.find(_.name == q).get.fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.nonEmpty, s"$q returned nothing")
+      // vec 3 has no cosine to anything — it must be absent, not NaN
+      assert(out.forall { case (a, b) => a % 100000L != 3L && b % 100000L != 3L },
+        s"$q emitted rows for the zero-norm vector: ${out.filter { case (a, b) =>
+          a % 100000L == 3L || b % 100000L == 3L }.take(5).mkString(",")}")
+    }
+  }
 }
