@@ -71,7 +71,12 @@ class GraftTableSpec extends AnyFunSuite with SparkTestBase {
     GraftTable.runResumable(spark, pages, root, nBuckets = 8, bucketsPerWave = 2,
       target, bycatch, tasksPerWave = 4)
     val manifest = new java.io.File(s"$root/manifest")
-    val newest = manifest.list().filter(_.startsWith("snapshot-")).sorted.last
+    // sort NUMERICALLY: snapshot ids are unpadded, so a lexicographic
+    // .sorted.last picks snapshot-9 over snapshot-10 once a run commits
+    // 10+ waves and the test would delete a mid-chain snapshot the next
+    // wave's manifest already heals (round-6 test review)
+    val newest = manifest.list().filter(_.startsWith("snapshot-"))
+      .maxBy(_.stripPrefix("snapshot-").stripSuffix(".json").toInt)
     assert(new java.io.File(manifest, newest).delete())
     val latestId = newest.stripPrefix("snapshot-").stripSuffix(".json").toInt
 
@@ -152,11 +157,26 @@ class GraftTableSpec extends AnyFunSuite with SparkTestBase {
       .select("url", "bucket").collect()
       .map(r => r.getString(0) -> r.getAs[Number](1).intValue).toMap
     val expectedNew = newUrls.filter(u => !done(bucketOfUrl(u)))
-    val finalUrls = spark.read.parquet(s"$root/data")
-      .select("url").collect().map(_.getString(0)).toSet
+    val finalRows = spark.read.parquet(s"$root/data")
+      .select("url").collect().map(_.getString(0))
+    val finalUrls = finalRows.toSet
     assert(expectedNew.nonEmpty)
     val missing = expectedNew.filterNot(finalUrls)
     assert(missing.isEmpty, s"stale staged rows served: missing ${missing.take(3)}")
+    // and the EXACT final contents (round-6 test review: inclusion alone
+    // passes if a restage regression re-processes committed buckets or
+    // serves new urls into them): committed buckets keep exactly their
+    // pre-crash (old-input) rows, pending buckets get exactly the new
+    // input's rows, once each
+    val urls160 = pages160.select("url").collect().map(_.getString(0)).toSet
+    val allNewInput = bucketOfUrl.keySet
+    val expected = urls160.filter(u => done(bucketOfUrl(u))) ++
+      allNewInput.filterNot(u => done(bucketOfUrl(u)))
+    assert(finalUrls == expected,
+      s"final table diverges: extra=${(finalUrls -- expected).take(3)} " +
+        s"missing=${(expected -- finalUrls).take(3)}")
+    assert(finalRows.length == expected.size,
+      s"duplicate rows: ${finalRows.length} rows for ${expected.size} urls")
   }
 
   test("snapshot read: all-empty-bucket snapshot is an empty table, not an error") {
@@ -247,10 +267,12 @@ class GraftTableSpec extends AnyFunSuite with SparkTestBase {
     GraftTable.runResumable(spark, ExtractPipeline.pages(spark, 80, 2), root2,
       nBuckets = 4, bucketsPerWave = 2,
       CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet, tasksPerWave = 2)
-    val snaps = new java.io.File(s"$root2/manifest").list()
-      .filter(_.startsWith("snapshot-")).sorted
+    // numeric max, not lexicographic (unpadded ids — see catch-up test)
+    val lastSnap = new java.io.File(s"$root2/manifest").list()
+      .filter(_.startsWith("snapshot-"))
+      .maxBy(_.stripPrefix("snapshot-").stripSuffix(".json").toInt)
     val lastJson = java.nio.file.Files.readString(
-      new java.io.File(s"$root2/manifest/${snaps.last}").toPath)
+      new java.io.File(s"$root2/manifest/$lastSnap").toPath)
     val total = "\"total_docs\": (\\d+)".r.findFirstMatchIn(lastJson).map(_.group(1).toLong)
     assert(total.contains(80L), s"last snapshot total_docs=$total, want 80")
   }

@@ -67,8 +67,11 @@ class LintSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("every persist in Queries.scala has a registered cache owner (source lint)") {
-    val lines = scala.io.Source.fromFile(
-      "src/main/scala/graft/queries/Queries.scala", "UTF-8").getLines().toVector
+    val src = new java.io.File("src/main/scala/graft/queries/Queries.scala")
+    assert(src.exists, s"lint source not found at ${src.getAbsolutePath} — " +
+      "the forked test JVM's working directory moved off the repo root")
+    val lines = scala.util.Using.resource(
+      scala.io.Source.fromFile(src, "UTF-8"))(_.getLines().toVector)
     val persistIdx = lines.zipWithIndex.collect {
       case (l, i) if l.contains(".persist(") => i
     }
