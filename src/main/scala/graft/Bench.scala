@@ -330,10 +330,22 @@ object Bench {
     val skewPath = tmp.resolve("skew").toString
     ExtractPipeline.pages(spark, skewDocs, cpus * 4)
       .write.mode("overwrite").parquet(skewPath)
-    val domainLeg = richChildLeg(cpus, iters = 3, heap = "8g", skewPath, "domain")(
-      parentParseLeg(skewPath, "domain"))
-    val saltedLeg = richChildLeg(cpus, iters = 3, heap = "8g", skewPath, "salted")(
-      parentParseLeg(skewPath, "salted"))
+    // INTERLEAVED (domain, salted) pairs, the scaling legs' discipline:
+    // the two routes are a comparative claim, and one-shot children
+    // minutes apart let a host drift window invert it (observed in the
+    // r6 canonical runs: salted was 2x faster in two runs, then
+    // 'slower' in a third whose pair ratios drifted 2.6-3.8). Each pair
+    // runs back to back so both routes see the same window; the
+    // published legs are the median-ratio pair and all ratios are
+    // printed for the artifact.
+    def skewPair(): (Leg, Leg) = (
+      richChildLeg(cpus, iters = 3, heap = "8g", skewPath, "domain")(
+        parentParseLeg(skewPath, "domain")),
+      richChildLeg(cpus, iters = 3, heap = "8g", skewPath, "salted")(
+        parentParseLeg(skewPath, "salted")))
+    val skewPairs = Seq.fill(3)(skewPair())
+    val (domainLeg, saltedLeg) = skewPairs
+      .sortBy { case (d, sl) => d.sec / sl.sec }.apply(skewPairs.length / 2)
 
     // ---- heavy-tail page-SIZE skew (round-4 verdict #4) ----------------
     // The salted url-hash routing balances document COUNT; Common-Crawl
@@ -439,7 +451,7 @@ object Bench {
       s""","cpu_ms":${headlineCpu.mkString("[", ",", "]")}""" +
       s""","parent_sec":${fmt(parentSec)},"parent_gc_ms":$parentGcMs,"parent_cpu_ms":$parentCpuMs""" +
       s""","parent2_sec":${fmt(parent2Sec)},"parent2_gc_ms":$parent2GcMs,"parent2_cpu_ms":$parent2CpuMs}""" +
-      s""","skew_evidence":{"docs":$skewDocs,"hot_domain_share":${fmt(CorpusGen.HotDomainShare / 10.0)},"domain_partitioned":${domainLeg.json},"salted":${saltedLeg.json},"heavy_tail":{"docs":$heavyDocs,"heavy_share":${fmt(1.0 / heavyShare)},"mult_range":[$heavyMultLo,$heavyMultHi],"leg":${heavyLeg.json}}}""" +
+      s""","skew_evidence":{"docs":$skewDocs,"hot_domain_share":${fmt(CorpusGen.HotDomainShare / 10.0)},"domain_partitioned":${domainLeg.json},"salted":${saltedLeg.json},"pair_ratios":${skewPairs.map { case (d, sl) => fmt(d.sec / sl.sec) }.mkString("[", ",", "]")},"heavy_tail":{"docs":$heavyDocs,"heavy_share":${fmt(1.0 / heavyShare)},"mult_range":[$heavyMultLo,$heavyMultHi],"leg":${heavyLeg.json}}}""" +
       s""","scaling":{"cpus_lo":$cpusLo,"sec_lo":${fmt(tLo)},"cpus_hi":$cpusHi,"sec_hi":${fmt(tHi)},"efficiency":${fmt(efficiency)},"fallback_legs":$fallbackLegs,"escalated":$escalated,"pair_ratios":${pairs.map { case (lo, hi) => fmt(lo.sec / hi.sec) }.mkString("[", ",", "]")},"pairs":${pairs.map { case (lo, hi) => s"""{"lo":${lo.json},"hi":${hi.json}}""" }.mkString("[", ",", "]")}}}"""
     println(line)
     // belt-and-braces: also land the metric line in a file so the bench

@@ -733,18 +733,16 @@ object Queries {
         // of the jaccard join — persist it once instead of recomputing the
         // scan+tokenize+md5 three times (at scale: a materialized
         // signature table)
-        // shingle-less docs (< 3 tokens — empty/near-empty pages, the
-        // most common page class in real crawls) are excluded BEFORE
-        // banding: Jaccard over empty sets is 0/0, and without this
-        // filter >cap of them share one degenerate bucket whose star
-        // tier pairs them into NaN jaccards that abort the ANSI cast
-        // (round-6 review). Exact empty-duplicate detection is q13's
-        // job; mirrored in the oracle CTE (len(sh) > 0).
-        val aug = base.unionByName(
+        val augCached = base.unionByName(
               base.selectExpr(s"id + $mOff AS id", "slice(toks, 2, size(toks)) AS toks"))
             .selectExpr("id", s"$sparkShingles AS sh")
-            .filter("size(sh) > 0")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // exclude shingle-less docs (< 3 tokens) before banding: their
+        // 0/0 Jaccard NaN-aborts the ANSI cast once >cap share a
+        // degenerate bucket (round-6 review; oracle-mirrored). ABOVE the
+        // persist: below it, pushdown re-evaluates the shingle expression
+        // in the scan filter — tokenize+md5 TWICE per row (7.4 -> 17.5 s)
+        val aug = augCached.filter("size(sh) > 0")
         // minhash_bands: one pass over raw md5 digests, byte-identical
         // to the SQL lane construction (MinHashBands scaladoc); r=2
         // banding collides pairs at ~J^2 (41x fewer candidates, 99.96%
@@ -767,7 +765,7 @@ object Queries {
           .withColumn("rep", min("id").over(w))
           .withColumn("m", count(lit(1)).over(wSub))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        SwapCache.swap("q15")(aug, sigs)
+        SwapCache.swap("q15")(augCached, sigs)
         val small = sigs.filter(s"n <= $BucketCap")
         val s1 = small.selectExpr("id AS id_a", "b AS b_a", "bucket AS bucket_a")
         val s2 = small.selectExpr("id AS id_b", "b AS b_b", "bucket AS bucket_b")
@@ -1068,15 +1066,19 @@ object Queries {
         // persisted: the 32 hyperplane dot products per vector feed the
         // bucket self-join (both sides) AND the two re-rank joins — four
         // recomputes without the persist
-        val qq = t(s, dir, "embeddings")
+        val qqCached = t(s, dir, "embeddings")
           .selectExpr(
             "vec_id",
             QuantSpark)
           .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
-          .filter("nrm > 0") // zero-norm guard (q16 scaladoc)
           .selectExpr(Seq("vec_id", "qv", "nrm") ++ sTabs: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        SwapCache.swap("q24")(qq)
+        SwapCache.swap("q24")(qqCached)
+        // zero-norm guard (q16 scaladoc) ABOVE the persist: below it,
+        // pushdown would re-evaluate the quantize+dot into the scan
+        // filter (the q15 double-evaluation trap); here it reads the
+        // cached nrm column
+        val qq = qqCached.filter("nrm > 0")
         val sigs = qq.selectExpr("vec_id", sStack)
         val cand = sigs.filter(col("vec_id") < 100)
           .selectExpr("vec_id", "tbl", "bucket")
@@ -1285,12 +1287,13 @@ object Queries {
         val aug = base.unionByName(
           base.selectExpr(s"id + $offset AS id", s"$perturbSpark AS qv"))
         // persisted for the same reason as q24's qq (4 consumers)
-        val qq = aug
+        val qqCached = aug
           .withColumn("nrm", GraftFunctions.dot_i64(col("qv"), col("qv")))
-          .filter("nrm > 0") // zero-norm guard (q16 scaladoc)
           .selectExpr(Seq("id", "qv", "nrm") ++ lsh.sTabs: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        SwapCache.swap("q26")(qq)
+        SwapCache.swap("q26")(qqCached)
+        // zero-norm guard above the persist (q24 comment)
+        val qq = qqCached.filter("nrm > 0")
         val sigs = qq.selectExpr("id", lsh.sStack)
         val cand = sigs.selectExpr("id AS id_a", "tbl", "bucket")
           .join(sigs.selectExpr("id AS id_b", "tbl AS tbl2", "bucket AS bucket2"),
