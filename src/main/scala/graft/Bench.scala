@@ -344,8 +344,14 @@ object Bench {
       richChildLeg(cpus, iters = 3, heap = "8g", skewPath, "salted")(
         parentParseLeg(skewPath, "salted")))
     val skewPairs = Seq.fill(3)(skewPair())
-    val (domainLeg, saltedLeg) = skewPairs
-      .sortBy { case (d, sl) => d.sec / sl.sec }.apply(skewPairs.length / 2)
+    // a pair where one route fell back in-process divides a parent-JVM
+    // wall by a pinned-child wall — cross-methodology; never let it
+    // define the published comparison while a clean pair exists (all
+    // pairs are published below with their fallback flags regardless)
+    val cleanSkew = skewPairs.filter { case (d, sl) => !d.fallback && !sl.fallback }
+    val skewPool = if (cleanSkew.nonEmpty) cleanSkew else skewPairs
+    val (domainLeg, saltedLeg) = skewPool
+      .sortBy { case (d, sl) => d.sec / sl.sec }.apply(skewPool.length / 2)
 
     // ---- heavy-tail page-SIZE skew (round-4 verdict #4) ----------------
     // The salted url-hash routing balances document COUNT; Common-Crawl
@@ -451,7 +457,7 @@ object Bench {
       s""","cpu_ms":${headlineCpu.mkString("[", ",", "]")}""" +
       s""","parent_sec":${fmt(parentSec)},"parent_gc_ms":$parentGcMs,"parent_cpu_ms":$parentCpuMs""" +
       s""","parent2_sec":${fmt(parent2Sec)},"parent2_gc_ms":$parent2GcMs,"parent2_cpu_ms":$parent2CpuMs}""" +
-      s""","skew_evidence":{"docs":$skewDocs,"hot_domain_share":${fmt(CorpusGen.HotDomainShare / 10.0)},"domain_partitioned":${domainLeg.json},"salted":${saltedLeg.json},"pair_ratios":${skewPairs.map { case (d, sl) => fmt(d.sec / sl.sec) }.mkString("[", ",", "]")},"heavy_tail":{"docs":$heavyDocs,"heavy_share":${fmt(1.0 / heavyShare)},"mult_range":[$heavyMultLo,$heavyMultHi],"leg":${heavyLeg.json}}}""" +
+      s""","skew_evidence":{"docs":$skewDocs,"hot_domain_share":${fmt(CorpusGen.HotDomainShare / 10.0)},"domain_partitioned":${domainLeg.json},"salted":${saltedLeg.json},"pair_ratios":${skewPairs.map { case (d, sl) => fmt(d.sec / sl.sec) }.mkString("[", ",", "]")},"pairs":${skewPairs.map { case (d, sl) => s"""{"domain":${d.json},"salted":${sl.json}}""" }.mkString("[", ",", "]")},"heavy_tail":{"docs":$heavyDocs,"heavy_share":${fmt(1.0 / heavyShare)},"mult_range":[$heavyMultLo,$heavyMultHi],"leg":${heavyLeg.json}}}""" +
       s""","scaling":{"cpus_lo":$cpusLo,"sec_lo":${fmt(tLo)},"cpus_hi":$cpusHi,"sec_hi":${fmt(tHi)},"efficiency":${fmt(efficiency)},"fallback_legs":$fallbackLegs,"escalated":$escalated,"pair_ratios":${pairs.map { case (lo, hi) => fmt(lo.sec / hi.sec) }.mkString("[", ",", "]")},"pairs":${pairs.map { case (lo, hi) => s"""{"lo":${lo.json},"hi":${hi.json}}""" }.mkString("[", ",", "]")}}}"""
     println(line)
     // belt-and-braces: also land the metric line in a file so the bench

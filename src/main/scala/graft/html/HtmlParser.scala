@@ -19,6 +19,12 @@ object HtmlParser {
 
   private val RawTextTags = Set("script", "style", "textarea", "title")
 
+  /** HTML integration points (HTML5 tree construction): elements inside
+    * svg/math whose CONTENT is parsed as HTML again, so the foreign
+    * self-closing rule stops applying beneath them. (svg's `title` is
+    * one too, but it is RCDATA here and never reaches the open stack.) */
+  private val IntegrationPoints = Set("foreignobject", "desc", "annotation-xml")
+
   /** Tags whose open implicitly closes an open <p>. */
   private val PClosers = Set(
     "address", "article", "aside", "blockquote", "div", "dl", "fieldset",
@@ -61,6 +67,20 @@ object HtmlParser {
   def parse(html: String): HElem = {
     val root = HElem("#root")
     val stack = mutable.Stack[HElem](root)
+    // count of OPEN svg/math elements, maintained on push/pop: almost no
+    // page is foreign content, so the foreign test below is O(1) in the
+    // common case and the integration-point stack scan runs only inside
+    // real svg/math subtrees (round-6 review: a per-start-tag stack walk
+    // was pure overhead on the extraction hot path)
+    var svgMathOpen = 0
+    def popS(): Unit = {
+      val e = stack.pop()
+      if (e.tag == "svg" || e.tag == "math") svgMathOpen -= 1
+    }
+    def pushS(e: HElem): Unit = {
+      if (e.tag == "svg" || e.tag == "math") svgMathOpen += 1
+      stack.push(e)
+    }
     var i = 0
     val n = html.length
     val text = new StringBuilder
@@ -99,8 +119,8 @@ object HtmlParser {
             .toLowerCase(java.util.Locale.ROOT)
           // pop to the matching open tag if present; ignore stray closers
           if (stack.exists(e => e.tag == tag)) {
-            while (stack.top.tag != tag) stack.pop()
-            if (stack.size > 1) stack.pop()
+            while (stack.top.tag != tag) popS()
+            if (stack.size > 1) popS()
           }
           i = if (end < 0) n else end + 1
         } else if (c1.isLetter) {
@@ -111,8 +131,8 @@ object HtmlParser {
           if (PClosers.contains(tag)) {
             // implicit </p>
             if (stack.exists(_.tag == "p")) {
-              while (stack.top.tag != "p") stack.pop()
-              if (stack.size > 1) stack.pop()
+              while (stack.top.tag != "p") popS()
+              if (stack.size > 1) popS()
             }
           }
           ImpliedClosers.get(tag).foreach { case (closees, bounds) =>
@@ -122,7 +142,7 @@ object HtmlParser {
               closees.contains(e.tag) || bounds.contains(e.tag))
             if (idx >= 0 && closees.contains(stack(idx).tag)) {
               var popped = 0
-              while (popped <= idx && stack.size > 1) { stack.pop(); popped += 1 }
+              while (popped <= idx && stack.size > 1) { popS(); popped += 1 }
             }
           }
           stack.top.append(elem)
@@ -133,9 +153,15 @@ object HtmlParser {
           // reference's selectolax/lexbor engine is HTML5-compliant, so
           // honoring '/' on '<title/>' or '<script/>' diverged from it:
           // title text fell into body and script-adjacent markup leaked
-          // into extracted text (round-6 review).
-          val foreign = tag == "svg" || tag == "math" ||
-            stack.exists(e => e.tag == "svg" || e.tag == "math")
+          // into extracted text (round-6 review). Foreign = nearest
+          // svg/math ancestor WITHOUT an intervening HTML integration
+          // point (foreignObject, svg desc/title, math annotation-xml) —
+          // inside an integration point content is HTML again.
+          val foreign = tag == "svg" || tag == "math" || (svgMathOpen > 0 && {
+            val idx = stack.indexWhere(e => e.tag == "svg" || e.tag == "math" ||
+              IntegrationPoints.contains(e.tag))
+            idx >= 0 && !IntegrationPoints.contains(stack(idx).tag)
+          })
           if (!(selfClosed && foreign) && !VoidTags.contains(tag)) {
             if (RawTextTags.contains(tag)) {
               // raw text until the matching close tag. script/style are
@@ -157,7 +183,7 @@ object HtmlParser {
                 if (gt < 0) n else gt + 1
               }
             } else if (stack.size < 2048) {
-              stack.push(elem)
+              pushS(elem)
             }
             // depth cap: beyond 2048 open elements (never reached by real
             // pages) children attach to the current top instead of

@@ -197,8 +197,12 @@ object GraftTable {
         if (hfs.exists(stagedPath)) hfs.delete(stagedPath, true)
         withBucket.write.partitionBy("bucket").parquet(stagedRoot)
         // no second input pass here: rows written == input rows, and the
-        // staged parquet's own count is footer-metadata-only
-        val stagedCount = spark.read.parquet(stagedRoot).count()
+        // staged parquet's own count is footer-metadata-only. An EMPTY
+        // input writes no data files and the read-back cannot infer a
+        // schema (round-6 review) — fall back to counting the input,
+        // which for the empty case is the cheap job it looks like.
+        val stagedCount = scala.util.Try(spark.read.parquet(stagedRoot).count())
+          .getOrElse(pages.count())
         val out = hfs.create(marker, true)
         try out.write(stagedCount.toString.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))

@@ -179,6 +179,23 @@ class GraftTableSpec extends AnyFunSuite with SparkTestBase {
       s"duplicate rows: ${finalRows.length} rows for ${expected.size} urls")
   }
 
+  test("staged input: an EMPTY input stages and completes (marker fingerprint 0)") {
+    // round-6 review regression guard: a zero-row partitionBy write has
+    // no data files, so the staged read-back for the marker count threw
+    // 'Unable to infer schema' — the fallback counts the input instead
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl_empty").toString
+    val report = GraftTable.runResumable(spark,
+      spark.emptyDataset[graft.model.PageRecord],
+      root, nBuckets = 4, bucketsPerWave = 2,
+      CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet,
+      tasksPerWave = 2, stageInput = true)
+    assert(report.docs == 0L)
+    val marker = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/staged/_GRAFT_STAGED")).trim
+    assert(marker == "0", s"marker fingerprint: '$marker'")
+  }
+
   test("snapshot read: all-empty-bucket snapshot is an empty table, not an error") {
     // runResumable legitimately commits waves whose buckets hold zero pages
     // (it writes zero-row lineage for them); the snapshot then records

@@ -110,6 +110,11 @@ class HtmlSpec extends AnyFunSuite {
         "paragraph of real words that the classifier keeps as main text</p></body>")
     assert(Selectors.cssFirst(f, "path").get.text() == "")
     assert(Boilerplate.extract(f).mainText.contains("after the svg"))
+    // HTML INTEGRATION POINTS: inside svg's foreignObject content is
+    // HTML again, so '<p/>' there is ignored and owns the caption text
+    val ip = HtmlParser.parse(
+      "<body><svg><foreignObject><p/>caption text here</p></foreignObject></svg></body>")
+    assert(Selectors.cssFirst(ip, "p").get.text() == "caption text here")
   }
 
   test("pathologically deep nesting degrades gracefully, never kills the task") {
