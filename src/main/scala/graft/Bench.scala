@@ -350,8 +350,12 @@ object Bench {
     // pairs are published below with their fallback flags regardless)
     val cleanSkew = skewPairs.filter { case (d, sl) => !d.fallback && !sl.fallback }
     val skewPool = if (cleanSkew.nonEmpty) cleanSkew else skewPairs
+    // (length-1)/2: identical middle pick for odd pools, and for an
+    // even pool (one pair fell back) it takes the LOWER domain/salted
+    // ratio — length/2 would publish the higher one and overstate the
+    // salting benefit (round-6 ADVICE)
     val (domainLeg, saltedLeg) = skewPool
-      .sortBy { case (d, sl) => d.sec / sl.sec }.apply(skewPool.length / 2)
+      .sortBy { case (d, sl) => d.sec / sl.sec }.apply((skewPool.length - 1) / 2)
 
     // ---- heavy-tail page-SIZE skew (round-4 verdict #4) ----------------
     // The salted url-hash routing balances document COUNT; Common-Crawl

@@ -22,8 +22,16 @@ object HtmlParser {
   /** HTML integration points (HTML5 tree construction): elements inside
     * svg/math whose CONTENT is parsed as HTML again, so the foreign
     * self-closing rule stops applying beneath them. (svg's `title` is
-    * one too, but it is RCDATA here and never reaches the open stack.) */
-  private val IntegrationPoints = Set("foreignobject", "desc", "annotation-xml")
+    * one too, but it is RCDATA here and never reaches the open stack.)
+    * mi/mo/mn/ms/mtext are the MathML TEXT integration points — without
+    * them `<math><mi><b/>x` honored the self-closing flag where lexbor
+    * parses the content as HTML (round-6 ADVICE). annotation-xml is
+    * treated as an integration point unconditionally; HTML5 gates it on
+    * encoding=text/html|application/xhtml+xml — accepted approximation
+    * (the non-HTML-encoding case embeds non-HTML content this extractor
+    * would discard either way). */
+  private val IntegrationPoints = Set("foreignobject", "desc", "annotation-xml",
+    "mi", "mo", "mn", "ms", "mtext")
 
   /** Tags whose open implicitly closes an open <p>. */
   private val PClosers = Set(

@@ -831,7 +831,11 @@ object Queries {
         // padding or failed-encode row in a real dump) have no cosine to
         // anything: 0/0 = NaN and the ANSI cast to cos_e6 would abort
         // the query (round-6 review). Excluded here and in the oracle;
-        // same guard in q24/q26/q34.
+        // same guard in q24/q26/q34. Known, accepted: with no persist
+        // above it, pushdown duplicates quantize+dot into the scan filter
+        // (evaluates twice per row) — q16 is capped at 100k index rows
+        // and the BNLJ dominates, so a pushdown barrier would buy nothing
+        // here; q24/q26 place the same gate above a persist instead.
         .filter("nrm > 0")
       val probes = qq.filter(col("vec_id") < 100)
         .selectExpr("vec_id", "qv AS qa", "nrm AS na")

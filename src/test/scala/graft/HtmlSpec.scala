@@ -115,6 +115,17 @@ class HtmlSpec extends AnyFunSuite {
     val ip = HtmlParser.parse(
       "<body><svg><foreignObject><p/>caption text here</p></foreignObject></svg></body>")
     assert(Selectors.cssFirst(ip, "p").get.text() == "caption text here")
+    // MathML TEXT integration points (mi/mo/mn/ms/mtext, round-6 ADVICE):
+    // content under <math><mi> is HTML again, so '<b/>' does NOT
+    // self-close and owns the following text — lexbor parity
+    val mi = HtmlParser.parse(
+      "<body><math><mi><b/>bold inside mi</b></mi></math></body>")
+    assert(Selectors.cssFirst(mi, "b").get.text() == "bold inside mi")
+    // ...while a non-integration-point MathML element stays foreign:
+    // '<b/>' under <math><mrow> really closes and swallows nothing
+    val mrow = HtmlParser.parse(
+      "<body><math><mrow><b/>sibling text</mrow></math></body>")
+    assert(Selectors.cssFirst(mrow, "b").get.text() == "")
   }
 
   test("pathologically deep nesting degrades gracefully, never kills the task") {
