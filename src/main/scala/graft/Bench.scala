@@ -47,6 +47,37 @@ object Bench {
   private def fmt(d: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, d)
 
+  /** Canonical per-query wall seconds at sf0.1 / 32 cores — the anomaly-
+    * retry reference (round-6 verdict #1). Values are the r6 canonical
+    * band's healthy driver-command run (BASELINE.md r6; q41 uses the
+    * canonical 4.5–5.3 s band, NOT the driver artifact's host-window
+    * 60.8 s). The retry threshold is max(3x canonical, 3 s) — at other
+    * sf dirs queries run FASTER than these, so the gate can only
+    * under-trigger, never flap. A query missing here (new since this
+    * table) falls back to a 30 s absolute threshold. */
+  private val CanonicalSec: Map[String, Double] = Map(
+    "q01_pricing_agg" -> 0.63, "q02_filter_monthly" -> 1.24,
+    "q03_join_revenue" -> 2.20, "q04_dim_bcast" -> 1.05,
+    "q05_window_topk" -> 1.37, "q06_events_hourly" -> 0.67,
+    "q07_events_props" -> 0.75, "q08_token_stats" -> 0.34,
+    "q09_wordscore" -> 0.25, "q10_langid" -> 0.22,
+    "q11_quality" -> 0.23, "q12_fingerprint" -> 0.17,
+    "q13_dedup_exact" -> 0.46, "q14_minhash_sig" -> 0.21,
+    "q15_lsh_near_dup" -> 7.08, "q16_ann_topk" -> 1.80,
+    "q17_extract_verify" -> 2.52, "q18_simhash" -> 0.20,
+    "q19_resume_lineage" -> 4.48, "q20_binary_features" -> 0.40,
+    "q21_citation_edges" -> 0.30, "q22_enrich_join" -> 0.38,
+    "q23_dict_cells" -> 0.31, "q24_ann_lsh" -> 2.06,
+    "q25_dedup_groups" -> 4.45, "q26_embed_near_dup" -> 2.24,
+    "q27_winnow_fingerprints" -> 0.52, "q28_top_terms" -> 0.48,
+    "q29_download_receipts" -> 0.44, "q30_scholar_search" -> 0.32,
+    "q31_enrich_full" -> 1.31, "q32_export_cast" -> 0.63,
+    "q33_csv_wordscore" -> 0.43, "q34_ann_ivf" -> 2.90,
+    "q35_training_set" -> 0.80, "q36_download_links" -> 0.13,
+    "q37_pdf_dir_scan" -> 0.23, "q38_export_cleanup" -> 1.21,
+    "q39_mode_fastscore" -> 0.65, "q40_stream_extract" -> 4.94,
+    "q41_jaccard_join" -> 5.30)
+
   /** Timed leg: read the materialized pages table, parse+score, count —
     * the ONE shared body every harness JVM times (BenchCommon). */
   private def extractLeg(spark: SparkSession, pagesPath: String, tasks: Int): Long =
@@ -78,8 +109,15 @@ object Bench {
       * driver run's q41 took 66 s vs 4.4 s canonical and the suite loop
       * published wall time ONLY, so the anomaly could not be classified
       * from the artifact — now gc/cpu deltas and the resident cache size
-      * classify a slow query in place). */
-    final case class QueryStat(sec: Double, gcMs: Long, cpuMs: Long, cachedMbAfter: Long)
+      * classify a slow query in place). cached_mb_peak samples BEFORE the
+      * SwapCache release (round-6 ADVICE: after-only sampling reads 0
+      * whether the query ran cached or fully uncached — the number that
+      * settles the failure mode is the cache state the query ran under);
+      * `candidates` is q41's in-action candidate-pair count (Queries
+      * .q41CandidateCount); retry_* describe the anomaly retry below. */
+    final case class QueryStat(sec: Double, gcMs: Long, cpuMs: Long,
+        cachedMbPeak: Long, cachedMbAfter: Long, candidates: Long,
+        retrySec: Double, retryGcMs: Long, retryCpuMs: Long, retryCandidates: Long)
     def cachedMb: Long =
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum >> 20
     val queryStats = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -95,6 +133,34 @@ object Bench {
       }
       val gcMs = GcClock.ms - gc0
       val cpuMs = if (cpu0 < 0) -1L else CpuClock.ms - cpu0
+      // sampled BEFORE the release: the cache state the query actually
+      // ran under (the post-release sample below reads ~0 by design)
+      val cachedPeak = cachedMb
+      val candidates =
+        if (name == "q41_jaccard_join") graft.queries.Queries.q41CandidateCount else -1L
+      // ---- anomaly retry (round-6 verdict #1) ------------------------
+      // A query > 3x its recorded canonical time re-runs ONCE in this
+      // same JVM before its caches are released: a fast retry proves a
+      // transient host window (labeled, not mysterious); a slow retry
+      // proves engine/state and the candidate count bisects which. The
+      // retry is a full fresh invocation (each query's release-first
+      // SwapCache discipline rebuilds its own generation).
+      val anomaly = !failedQueries.contains(name) &&
+        sec > CanonicalSec.get(name).map(c => math.max(3.0 * c, 3.0)).getOrElse(30.0)
+      val (retrySec, retryGcMs, retryCpuMs, retryCand) =
+        if (anomaly) {
+          System.err.println(s"[bench] $name anomaly: ${fmt(sec)}s — retrying in-JVM")
+          val g0 = GcClock.ms
+          val c0 = CpuClock.ms
+          val rs = timeSec {
+            try fn(spark, sfDir).count()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name retry failed: ${e.getMessage}") }
+          }
+          val rc =
+            if (name == "q41_jaccard_join") graft.queries.Queries.q41CandidateCount else -1L
+          (rs, GcClock.ms - g0, if (c0 < 0) -1L else CpuClock.ms - c0, rc)
+        } else (-1.0, -1L, -1L, -1L)
       // release this query's SwapCache generation BEFORE the next query
       // runs (round-5 verdict #1): by q41 the parent otherwise holds
       // q15's + q24's + q26's + q41's MEMORY_AND_DISK generations at
@@ -104,7 +170,8 @@ object Bench {
       // its first standalone invocation, generation rebuild included
       // (that is the swap contract's steady state anyway).
       graft.queries.Queries.releaseSwapCaches()
-      name -> QueryStat(sec, gcMs, cpuMs, cachedMb)
+      name -> QueryStat(sec, gcMs, cpuMs, cachedPeak, cachedMb, candidates,
+        retrySec, retryGcMs, retryCpuMs, retryCand)
     }
     val queryTimes = queryStats.map { case (n, st) => n -> st.sec }
     // drop phase-1's persisted LSH/ANN intermediates before timing the
@@ -218,6 +285,8 @@ object Bench {
     val childTaskMed = legArr(childOut, "LEG_TASKMED")
     val childTaskMax = legArr(childOut, "LEG_TASKMAX")
     val childCpu = legArr(childOut, "LEG_CPU")
+    // [canary_before, canary_after] wall ms from inside the pinned child
+    val childCanary = legArr(childOut, "LEG_CANARY")
     legArr(childOut, "LEG_OK").headOption.foreach(okHi = _)
     val (headlineMode, headlineRuns, headlineGc, headlineTaskMed, headlineTaskMax, headlineCpu) =
       if (childRuns.size == 5)
@@ -261,10 +330,12 @@ object Bench {
       * fallback — a `fallback:true` leg is a different methodology and
       * must be distinguishable in the artifact. */
     final case class Leg(sec: Double, gcMs: Long, cpuMs: Long,
-        taskMedMs: Long, taskMaxMs: Long, fallback: Boolean) {
+        taskMedMs: Long, taskMaxMs: Long, fallback: Boolean,
+        canaryMs: Seq[Long] = Seq.empty) {
       def json: String =
         s"""{"sec":${fmt(sec)},"cpu_ms":$cpuMs,"gc_ms":$gcMs""" +
-        s""","task_ms_median":$taskMedMs,"task_ms_max":$taskMaxMs,"fallback":$fallback}"""
+        s""","task_ms_median":$taskMedMs,"task_ms_max":$taskMaxMs""" +
+        s""","canary_ms":${canaryMs.mkString("[", ",", "]")},"fallback":$fallback}"""
     }
     /** Spawn one pinned rich BenchLeg child on (path, route); the leg's
       * wall is the in-child median of `iters` timed runs, and the
@@ -282,7 +353,8 @@ object Bench {
           legArr(legOut, "LEG_CPU").lift(mi).getOrElse(-1L),
           legArr(legOut, "LEG_TASKMED").lift(mi).getOrElse(-1L),
           legArr(legOut, "LEG_TASKMAX").lift(mi).getOrElse(-1L),
-          fallback = false)
+          fallback = false,
+          canaryMs = legArr(legOut, "LEG_CANARY"))
       } else fallbackLeg
     }
     /** In-process fallback body for the skew/heavy legs: same shared
@@ -441,9 +513,27 @@ object Bench {
     val docsPerSec = nDocs / tHiAtCpus
     val efficiency = ratios(medianIdx) / (cpusHi.toDouble / cpusLo)
 
+    // ---- cycle-delivery normalization (round-6 verdict #2) -------------
+    // canary observed ms -> fraction of canonical cycles the host
+    // delivered during the headline child; the normalized docs/s carries
+    // its own window evidence (delivery 0.22 + normalized-in-band reads
+    // "host window", delivery ~1 + below-band reads "engine regression").
+    // -1 when the child printed no canary (parent-fallback headline).
+    val canaryObs = childCanary.filter(_ > 0)
+    val cycleDelivery =
+      if (canaryObs.isEmpty) -1.0
+      else CycleCanary.CanonicalMs.toDouble / (canaryObs.sum.toDouble / canaryObs.size)
+    val docsPerSecNormalized =
+      if (cycleDelivery > 0) docsPerSec / cycleDelivery else -1.0
+
     val qs = queryTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val qTel = queryStats.map { case (k, st) =>
-      s""""$k":{"gc_ms":${st.gcMs},"cpu_ms":${st.cpuMs},"cached_mb_after":${st.cachedMbAfter}}"""
+      // retry block only when the anomaly retry actually ran — a -1.0
+      // retry_sec would read as "retried, instant"
+      val retry = if (st.retrySec >= 0)
+        s""","retry":{"sec":${fmt(st.retrySec)},"gc_ms":${st.retryGcMs},"cpu_ms":${st.retryCpuMs},"candidates":${st.retryCandidates}}"""
+      else ""
+      s""""$k":{"gc_ms":${st.gcMs},"cpu_ms":${st.cpuMs},"cached_mb_peak":${st.cachedMbPeak},"cached_mb_after":${st.cachedMbAfter},"candidates":${st.candidates}$retry}"""
     }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     val failed = failedQueries.map(n => s""""$n"""").mkString("[", ",", "]")
@@ -455,6 +545,8 @@ object Bench {
       s""","queries_total_sec":${fmt(total)},"extract_docs":$nDocs,"extract_ok":$okHi,"extract_sec":${fmt(tHiAtCpus)}""" +
       s""","task_ms_median":$medianTaskMs,"task_ms_max":$maxTaskMs""" +
       s""","headline":{"mode":"$headlineMode","runs_sec":${headlineRuns.map(fmt).mkString("[", ",", "]")}""" +
+      s""","canary_ms":${childCanary.mkString("[", ",", "]")},"canary_canonical_ms":${CycleCanary.CanonicalMs}""" +
+      s""","cycle_delivery":${fmt(cycleDelivery)},"docs_per_sec_normalized":${fmt(docsPerSecNormalized)}""" +
       s""","gc_ms":${headlineGc.mkString("[", ",", "]")}""" +
       s""","task_ms_median":${headlineTaskMed.mkString("[", ",", "]")}""" +
       s""","task_ms_max":${headlineTaskMax.mkString("[", ",", "]")}""" +

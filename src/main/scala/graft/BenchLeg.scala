@@ -51,6 +51,12 @@ object BenchLeg {
     val listener = new TaskTimeListener
     if (rich) spark.sparkContext.addSparkListener(listener)
     leg(warmPath); leg(pagesPath) // JIT warm
+    // cycle-delivery canary AROUND the timed runs (round-6 verdict #2):
+    // a fixed single-thread checksum with a known canonical wall time,
+    // so a below-band leg carries its own normalization ("the host
+    // delivered X% of canonical cycles during this child") instead of
+    // leaning on builder-run history
+    val canaryBefore = if (rich) { CycleCanary.warm(); CycleCanary.run() } else -1L
     var ok = 0L
     val runs = (1 to iters).map { _ =>
       listener.clear()
@@ -65,6 +71,7 @@ object BenchLeg {
       val (taskMed, taskMax) = if (rich) listener.skew else (0L, 0L)
       (sec, gcDelta, taskMed, taskMax, cpuDelta)
     }
+    val canaryAfter = if (rich) CycleCanary.run() else -1L
     def f(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     if (rich) {
       println("LEG_RUNS=" + runs.map(r => f(r._1)).mkString(","))
@@ -72,6 +79,7 @@ object BenchLeg {
       println("LEG_TASKMED=" + runs.map(_._3).mkString(","))
       println("LEG_TASKMAX=" + runs.map(_._4).mkString(","))
       println("LEG_CPU=" + runs.map(_._5).mkString(","))
+      println("LEG_CANARY=" + canaryBefore + "," + canaryAfter)
     }
     val times = runs.map(_._1).sorted
     println("LEG_SEC=" + f(times(times.length / 2)))

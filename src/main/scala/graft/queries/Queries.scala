@@ -253,6 +253,35 @@ object Queries {
     * round-1 46%-of-wall pathology). */
   private[graft] def releaseSwapCaches(): Unit = SwapCache.releaseAll(blocking = true)
 
+  /** Observation handle of the LATEST q41 invocation: the candidate-pair
+    * count (post-distinct, pre-confirm) flows through a CollectMetrics
+    * node inside the query's own action, so the harness can read the one
+    * number that classifies a q41 blowup — candidate explosion (engine)
+    * vs slow host — WITHOUT a second action recomputing the join
+    * (round-6 verdict #1: two driver rounds burned on exactly this
+    * ambiguity; expected ~716k at sf0.1 per BASELINE.md r5). A fresh
+    * Observation per invocation: one Observation accepts observe() once. */
+  private val q41LastObs =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.Observation]()
+
+  /** Candidate-pair count observed by the latest COMPLETED q41 action;
+    * -1 when q41 never ran or the async metric has not been delivered
+    * within ~2s (observation results ride the listener bus). */
+  private[graft] def q41CandidateCount: Long = {
+    val obs = q41LastObs.get
+    if (obs == null) -1L
+    else {
+      val fut = obs.future
+      var left = 20
+      while (!fut.isCompleted && left > 0) { Thread.sleep(100); left -= 1 }
+      fut.value match {
+        case Some(scala.util.Success(row)) =>
+          scala.util.Try(row.getLong(row.fieldIndex("n"))).getOrElse(-1L)
+        case _ => -1L
+      }
+    }
+  }
+
   /** Cache of q15's CONFIRMED-PAIR result, keyed by (session, sf dir):
     * q25's connected components consume exactly these edges, so a bench /
     * verify sweep that runs q15 then q25 must not pay the whole LSH
@@ -2068,7 +2097,15 @@ object Queries {
               " AND 9 * sz_a <= 10 * sz_b AND 9 * sz_b <= 10 * sz_a" +
               " AND 1 + least(sz_a - rn_a, sz_b - rn_b) >= (9 * (sz_a + sz_b) + 18) DIV 19"))
           .select("id_a", "id_b").distinct()
-        cand
+        // candidate-count probe (q41CandidateCount scaladoc): CollectMetrics
+        // counts the rows flowing into the confirm stage inside the same
+        // action — no second job, no extra shuffle; sits ABOVE distinct so
+        // the count is the confirmed-join fan-in, the number that decides
+        // "candidate explosion" vs "slow host" for a wall-time anomaly
+        val obs = org.apache.spark.sql.Observation()
+        q41LastObs.set(obs)
+        val candObserved = cand.observe(obs, count(lit(1)).as("n"))
+        candObserved
           .join(grams.selectExpr("id AS id_a", "gs AS gs_a"), Seq("id_a"))
           .join(grams.selectExpr("id AS id_b", "gs AS gs_b"), Seq("id_b"))
           .selectExpr("id_a", "id_b",
