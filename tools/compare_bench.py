@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate (round-6 verdict #7).
+
+The canonical-band discipline — run the full Bench per build and compare
+per-query times against the previous canonical run — caught a real 2.4x
+q15 self-regression in round 6. This formalizes it as a command:
+
+    python3 tools/compare_bench.py CANONICAL.json NEW.json [NEW2.json ...]
+                                   [--factor 2.0]
+
+Compares every query in NEW against CANONICAL and exits nonzero when any
+query regressed by more than --factor in EVERY provided NEW file (one
+drifting host window inverts single runs — two consistent runs = real;
+pass two fresh bench_out.json files to require consistency, or one for a
+quick screen). Also flags headline (extract_sec) regressions and prints
+the full ratio table sorted by ratio.
+
+Exit codes: 0 = no consistent regression; 1 = regression(s); 2 = usage /
+missing keys.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main(argv):
+    factor = 2.0
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--factor":
+            factor = float(argv[i + 1])
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
+    if len(args) < 2:
+        print(__doc__)
+        return 2
+
+    canon = load(args[0])
+    news = [load(p) for p in args[1:]]
+    cq = canon.get("queries", {})
+    if not cq:
+        print(f"no 'queries' block in {args[0]}")
+        return 2
+
+    # per-query worst and best ratio across the NEW runs; a query is a
+    # CONSISTENT regression only if its BEST (smallest) ratio still
+    # exceeds the factor — a single healthy run acquits it
+    rows = []
+    for name, base in sorted(cq.items()):
+        ratios = [n.get("queries", {}).get(name) for n in news]
+        ratios = [r / base for r in ratios if r is not None and base > 0]
+        if not ratios:
+            rows.append((name, base, None, None, "missing"))
+            continue
+        best, worst = min(ratios), max(ratios)
+        verdict = "REGRESSION" if best > factor else (
+            "suspect" if worst > factor else "ok")
+        rows.append((name, base, best, worst, verdict))
+
+    regressions = [r for r in rows if r[4] == "REGRESSION"]
+    missing = [r for r in rows if r[4] == "missing"]
+
+    width = max(len(r[0]) for r in rows)
+    for name, base, best, worst, verdict in sorted(
+            rows, key=lambda r: -(r[3] or 0)):
+        if best is None:
+            print(f"{name:<{width}}  base={base:7.3f}s  MISSING in new run(s)")
+        else:
+            mark = "" if verdict == "ok" else f"  <-- {verdict}"
+            print(f"{name:<{width}}  base={base:7.3f}s  "
+                  f"ratio best={best:5.2f} worst={worst:5.2f}{mark}")
+
+    # headline wall (extract_sec): same consistency rule
+    hb = canon.get("extract_sec")
+    if hb:
+        hr = [n.get("extract_sec", 0) / hb for n in news if n.get("extract_sec")]
+        if hr:
+            h_best = min(hr)
+            tag = "REGRESSION" if h_best > factor else "ok"
+            print(f"{'extract_sec':<{width}}  base={hb:7.3f}s  "
+                  f"ratio best={h_best:5.2f} worst={max(hr):5.2f}"
+                  f"{'' if tag == 'ok' else '  <-- ' + tag}")
+            if tag == "REGRESSION":
+                regressions.append(("extract_sec",))
+
+    # cycle-delivery context when the runs carry the canary (a slow run
+    # with delivery << 1 is a host window, not an engine regression —
+    # noted, but the gate still fails: re-run in a healthy window)
+    for i, n in enumerate(news):
+        cd = n.get("headline", {}).get("cycle_delivery")
+        if cd is not None and cd > 0:
+            print(f"note: new run {i + 1} cycle_delivery={cd:.3f}")
+
+    if missing:
+        print(f"\n{len(missing)} canonical queries missing from new run(s)")
+    if regressions:
+        print(f"\nFAIL: {len(regressions)} consistent >{factor}x regression(s)")
+        return 1
+    print(f"\nOK: no consistent >{factor}x regression "
+          f"across {len(news)} new run(s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
