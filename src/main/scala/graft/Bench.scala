@@ -368,9 +368,11 @@ object Bench {
       val cpu0 = CpuClock.ms
       val sec = timeSec {
         (route match {
-          case "domain" => BenchCommon.countOkDomainPartitioned(spark, path, cpus)
-          case "salted" => BenchCommon.countOk(spark, path, cpus)
-          case _        => BenchCommon.countOk(spark, path, 0)
+          case "domain"       => BenchCommon.countOkDomainPartitioned(spark, path, cpus)
+          case "salted"       => BenchCommon.countOk(spark, path, cpus)
+          case "salted_fine"  => BenchCommon.countOk(spark, path, cpus * 4)
+          case "byteweighted" => BenchCommon.countOkByteWeighted(spark, path, cpus * 4)
+          case _              => BenchCommon.countOk(spark, path, 0)
         }): Unit
       }
       val gcMs = GcClock.ms - gc0
@@ -447,6 +449,43 @@ object Bench {
       .write.mode("overwrite").parquet(heavyPath)
     val heavyLeg = richChildLeg(cpus, iters = 3, heap = "8g", heavyPath, "salted")(
       parentParseLeg(heavyPath, "salted"))
+
+    // ---- byte-weighted salting vs the DEFEAT case (round-6 verdict #3) --
+    // BASELINE.md r5 documented the one input count salting cannot
+    // balance: a single page whose parse cost is >= a whole task's doc
+    // quota. This corpus makes it real — quota here is
+    // defeatDocs/(cpus*4) docs per task and the tiled multiplier range
+    // sits ABOVE it — and parses it through both routings as interleaved
+    // pinned pairs (the skew legs' discipline: comparative claims must
+    // see the same host window). Expectation the artifact shows: salted
+    // (count-balanced) task max/med > ~3; byteWeightedRoute bounds it at
+    // ~1.5 by construction (byteBudget scaladoc).
+    // docs sized so the per-task quota (docs / (cpus*4) tasks) sits WELL
+    // BELOW the multiplier range at ANY harness cpu count — a fixed doc
+    // count at smoke-scale cpus raises the quota above the multipliers
+    // and the corpus silently stops defeating count salting
+    val defeatQuota = 156L
+    val defeatDocs = defeatQuota * cpus * 4
+    // multiplier range 13-26x the quota, so even a straggler-page's
+    // SOLO task dwarfs a full task of normal pages; share 999 ends in 9
+    // (gcd(999,10)=1), so consecutive heavy ids walk every docId%10
+    // residue and ~30% of heavy pages are PDFs (the expensive parser —
+    // per-byte parse cost is 6-19x HTML's) at every harness cpu count
+    val (defeatShare, defeatMultLo, defeatMultHi) = (999, 2000, 4000)
+    val defeatPath = tmp.resolve("defeat").toString
+    ExtractPipeline.heavyTailPages(spark, defeatDocs, cpus * 4,
+        defeatShare, defeatMultLo, defeatMultHi)
+      .write.mode("overwrite").parquet(defeatPath)
+    def defeatPair(): (Leg, Leg) = (
+      richChildLeg(cpus, iters = 3, heap = "8g", defeatPath, "salted_fine")(
+        parentParseLeg(defeatPath, "salted_fine")),
+      richChildLeg(cpus, iters = 3, heap = "8g", defeatPath, "byteweighted")(
+        parentParseLeg(defeatPath, "byteweighted")))
+    val defeatPairs = Seq.fill(3)(defeatPair())
+    val cleanDefeat = defeatPairs.filter { case (a, b) => !a.fallback && !b.fallback }
+    val defeatPool = if (cleanDefeat.nonEmpty) cleanDefeat else defeatPairs
+    val (defeatSalted, defeatBw) = defeatPool
+      .sortBy { case (a, b) => a.sec / b.sec }.apply((defeatPool.length - 1) / 2)
     spark.stop()
 
     // scaling legs: identical input + plan, two parallelism levels, each
@@ -553,7 +592,7 @@ object Bench {
       s""","cpu_ms":${headlineCpu.mkString("[", ",", "]")}""" +
       s""","parent_sec":${fmt(parentSec)},"parent_gc_ms":$parentGcMs,"parent_cpu_ms":$parentCpuMs""" +
       s""","parent2_sec":${fmt(parent2Sec)},"parent2_gc_ms":$parent2GcMs,"parent2_cpu_ms":$parent2CpuMs}""" +
-      s""","skew_evidence":{"docs":$skewDocs,"hot_domain_share":${fmt(CorpusGen.HotDomainShare / 10.0)},"domain_partitioned":${domainLeg.json},"salted":${saltedLeg.json},"pair_ratios":${skewPairs.map { case (d, sl) => fmt(d.sec / sl.sec) }.mkString("[", ",", "]")},"pairs":${skewPairs.map { case (d, sl) => s"""{"domain":${d.json},"salted":${sl.json}}""" }.mkString("[", ",", "]")},"heavy_tail":{"docs":$heavyDocs,"heavy_share":${fmt(1.0 / heavyShare)},"mult_range":[$heavyMultLo,$heavyMultHi],"leg":${heavyLeg.json}}}""" +
+      s""","skew_evidence":{"docs":$skewDocs,"hot_domain_share":${fmt(CorpusGen.HotDomainShare / 10.0)},"domain_partitioned":${domainLeg.json},"salted":${saltedLeg.json},"pair_ratios":${skewPairs.map { case (d, sl) => fmt(d.sec / sl.sec) }.mkString("[", ",", "]")},"pairs":${skewPairs.map { case (d, sl) => s"""{"domain":${d.json},"salted":${sl.json}}""" }.mkString("[", ",", "]")},"heavy_tail":{"docs":$heavyDocs,"heavy_share":${fmt(1.0 / heavyShare)},"mult_range":[$heavyMultLo,$heavyMultHi],"leg":${heavyLeg.json}},"byte_weighted_defeat":{"docs":$defeatDocs,"heavy_share":${fmt(1.0 / defeatShare)},"mult_range":[$defeatMultLo,$defeatMultHi],"docs_per_task_quota":${defeatDocs / (cpus * 4)},"salted":${defeatSalted.json},"byteweighted":${defeatBw.json},"pair_ratios":${defeatPairs.map { case (a, b) => fmt(a.sec / b.sec) }.mkString("[", ",", "]")},"pairs":${defeatPairs.map { case (a, b) => s"""{"salted":${a.json},"byteweighted":${b.json}}""" }.mkString("[", ",", "]")}}}""" +
       s""","scaling":{"cpus_lo":$cpusLo,"sec_lo":${fmt(tLo)},"cpus_hi":$cpusHi,"sec_hi":${fmt(tHi)},"efficiency":${fmt(efficiency)},"fallback_legs":$fallbackLegs,"escalated":$escalated,"pair_ratios":${pairs.map { case (lo, hi) => fmt(lo.sec / hi.sec) }.mkString("[", ",", "]")},"pairs":${pairs.map { case (lo, hi) => s"""{"lo":${lo.json},"hi":${hi.json}}""" }.mkString("[", ",", "]")}}}"""
     println(line)
     // belt-and-braces: also land the metric line in a file so the bench

@@ -43,10 +43,16 @@ object BenchLeg {
     spark.sparkContext.setLogLevel("ERROR")
     // ONE shared leg body with the parent's diagnostic/fallback legs —
     // parent-vs-child must compare the identical computation
+    // the defeat-pair routes (salted_fine vs byteweighted) both use
+    // cpus*4 partitions — the comparison is routing POLICY at identical
+    // granularity, and 4x over-partitioning is the standard scheduler
+    // headroom a cluster job would run with anyway
     def leg(path: String): Long = route match {
-      case "domain" => BenchCommon.countOkDomainPartitioned(spark, path, cpus)
-      case "salted" => BenchCommon.countOk(spark, path, cpus)
-      case _        => BenchCommon.countOk(spark, path, 0)
+      case "domain"       => BenchCommon.countOkDomainPartitioned(spark, path, cpus)
+      case "salted"       => BenchCommon.countOk(spark, path, cpus)
+      case "salted_fine"  => BenchCommon.countOk(spark, path, cpus * 4)
+      case "byteweighted" => BenchCommon.countOkByteWeighted(spark, path, cpus * 4)
+      case _              => BenchCommon.countOk(spark, path, 0)
     }
     val listener = new TaskTimeListener
     if (rich) spark.sparkContext.addSparkListener(listener)
