@@ -24,7 +24,16 @@ object BinaryFeatures {
       head_hex: String,      // first 8 bytes, hex
       entropy_e4: Long,      // byte-histogram Shannon entropy, 1e-4 fixed point
       frame_offsets: Seq[Long], // evenly spaced "frame sample" positions
-      stub_embedding: Seq[Long]) // STUB decode output (deterministic fake)
+      stub_embedding: Seq[Long], // STUB decode output (deterministic fake)
+      // REAL decode (round-6 verdict #5): from-scratch baseline PNG
+      // decoder (graft.multimodal.Png). Zero fields when the payload is
+      // not a decodable PNG — decode failures degrade to the histogram
+      // row, never throw.
+      png_ok: Boolean,
+      width: Long,
+      height: Long,
+      channels: Long,        // after palette expansion
+      pixel_mean_e4: Long)   // mean DECODED pixel byte value, 1e-4 fixed point
 
   /** Magic-byte sniffing — the only honest part of "decode". "empty"
     * means zero bytes; a 1-3 byte payload is real (if tiny) content and
@@ -85,19 +94,37 @@ object BinaryFeatures {
     }
   }
 
+  /** Mean decoded pixel byte value in 1e-4 fixed point. The sum is exact
+    * (Long over <=64 MiB of bytes), the single rounding matches the
+    * oracle's CAST(FLOOR(10000.0*sum/count + 0.5)). */
+  def pixelMeanE4(px: Array[Byte]): Long = {
+    if (px.isEmpty) return 0L
+    var s = 0L
+    var i = 0
+    while (i < px.length) { s += px(i) & 0xff; i += 1 }
+    math.floor(10000.0 * s / px.length + 0.5).toLong
+  }
+
   def extract(page: PageRecord): MediaFeatures = {
     val b = page.html
     val n = if (b == null) 0L else b.length.toLong
     val head = if (b == null) "" else
       b.take(8).map(x => f"${x & 0xff}%02x").mkString
+    val fmt = sniffFormat(b)
+    val png = if (fmt == "png") Png.decode(b) else None
     MediaFeatures(
       url = page.url,
-      format = sniffFormat(b),
+      format = fmt,
       n_bytes = n,
       head_hex = head,
       entropy_e4 = entropyE4(b),
       frame_offsets = frameOffsets(n),
-      stub_embedding = stubDecode(b))
+      stub_embedding = stubDecode(b),
+      png_ok = png.isDefined,
+      width = png.map(_.width.toLong).getOrElse(0L),
+      height = png.map(_.height.toLong).getOrElse(0L),
+      channels = png.map(_.channels.toLong).getOrElse(0L),
+      pixel_mean_e4 = png.map(d => pixelMeanE4(d.pixels)).getOrElse(0L))
   }
 
   /** The distributed stage: one batched pass per partition (the Scala

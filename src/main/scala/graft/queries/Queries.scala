@@ -1035,20 +1035,37 @@ object Queries {
         CAST(1 AS BIGINT) AS attempt
       FROM u LEFT JOIN a ON u.bucket = a.bucket"""))
 
-  /** Multimodal binary-column stage over the synthesized corpus (decode
-    * is a clearly-marked stub; plumbing is real — see
-    * graft.multimodal.BinaryFeatures). The raw (url, html) bytes are
-    * dumped so the oracle re-derives sniff/size/head INDEPENDENTLY from
-    * the blob (octet_length + hex prefix); entropy_e4 and the stub
-    * embedding have no SQL analog and stay pinned by BinaryFeaturesSpec. */
+  /** Multimodal binary-column stage over the synthesized corpus. The
+    * plumbing (schema, batched per-partition iteration, never-throw
+    * degradation) was always real; since round 7 the DECODE is too: a
+    * from-scratch baseline PNG decoder (graft.multimodal.Png — header
+    * parse, per-chunk CRC32, zlib inflate, all five scanline unfilters,
+    * palette expansion) feeds width/height/channels/pixel_mean_e4 for a
+    * 200-image deterministic PNG set (every 17th truncated mid-stream to
+    * exercise the clean-failure path). The raw (url, html) bytes are
+    * dumped so the oracle re-derives sniff/size/head/entropy AND the
+    * PNG header fields INDEPENDENTLY from the blob; the decoded pixels
+    * are dumped so the oracle re-derives the pixel mean from them and
+    * cross-checks the structural invariant octet_length(pixels) =
+    * width*height*channels (the q17 dump-re-derive pattern). Video/audio
+    * remain sniff-only (no container parser; honestly labeled). */
   private val q20 = Q(
     "q20_binary_features",
     (s, _) => {
+      import s.implicits._
       val pages = ExtractPipeline.pages(s, 800)
-      auxDump(pages.toDF().select("url", "html"), "q20_pages")
-      graft.multimodal.BinaryFeatures.stage(pages)
+      val pngs = s.range(0, 200, 1, 8).map(i => CorpusGen.genPngPage(i))
+      val all = pages.unionByName(pngs)
+      auxDump(all.toDF().select("url", "html"), "q20_pages")
+      auxDump(pngs.map(p => (p.url,
+          graft.multimodal.Png.decode(p.html).map(_.pixels)
+            .getOrElse(Array.empty[Byte])))
+        .toDF("url", "pixels"), "q20_pixels")
+      graft.multimodal.BinaryFeatures.stage(all)
         .toDF()
-        .selectExpr("url", "format", "n_bytes", "head_hex", "entropy_e4")
+        .selectExpr("url", "format", "n_bytes", "head_hex", "entropy_e4",
+          "CAST(png_ok AS BIGINT) AS png_ok", "width", "height", "channels",
+          "pixel_mean_e4")
     },
     // The entropy oracle re-derives byte-histogram Shannon entropy from
     // the dumped blobs: hex-pair explode -> per-byte counts -> ordered
@@ -1057,9 +1074,16 @@ object Queries {
     // uppercase hex sorts numerically, so both engines add the same IEEE
     // doubles in the same sequence (ln ulp-parity verified empirically
     // over the full 800-page dump).
+    // The PNG half re-derives width/height/bitdepth/colortype from the
+    // RAW bytes (IHDR is the first chunk by spec, so the fields sit at
+    // fixed offsets 17-26; hex digits -> ints via strpos arithmetic) and
+    // the pixel mean from the dumped DECODED pixels, accepting a row as
+    // png_ok only when the dumped pixel count equals width*height*
+    // channels — a violated decode invariant becomes a hash mismatch.
     Some(s"""WITH p AS (SELECT url, html,
         CASE WHEN octet_length(html) = 0 THEN 'empty'
              WHEN substr(hex(html), 1, 8) = '25504446' THEN 'pdf'
+             WHEN octet_length(html) >= 4 AND substr(hex(html), 1, 4) = '8950' THEN 'png'
              ELSE 'html' END AS format,
         CAST(octet_length(html) AS BIGINT) AS n_bytes,
         lower(substr(hex(html), 1, 16)) AS head_hex
@@ -1070,10 +1094,43 @@ object Queries {
       h AS (SELECT url, byte, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY url, byte),
       e AS (SELECT h.url,
           CAST(FLOOR(sum(-(c / p.n_bytes) * (ln(c / p.n_bytes) / ln(2.0)) ORDER BY h.byte) * 10000.0 + 0.5) AS BIGINT) AS entropy_e4
-        FROM h JOIN p ON h.url = p.url GROUP BY h.url)
+        FROM h JOIN p ON h.url = p.url GROUP BY h.url),
+      px AS (SELECT url, pixels, CAST(octet_length(pixels) AS BIGINT) AS np
+        FROM read_parquet('$AuxDir/q20_pixels/*.parquet')),
+      hdr AS (SELECT p.url, hex(p.html) AS hx FROM p WHERE p.format = 'png'),
+      hb AS (SELECT url, list_transform(range(17, 27), k ->
+          (strpos('0123456789ABCDEF', substr(hx, 2*k - 1, 1)) - 1) * 16
+          + (strpos('0123456789ABCDEF', substr(hx, 2*k, 1)) - 1)) AS hbv
+        FROM hdr),
+      dims AS (SELECT url,
+          hbv[1]*16777216 + hbv[2]*65536 + hbv[3]*256 + hbv[4] AS w,
+          hbv[5]*16777216 + hbv[6]*65536 + hbv[7]*256 + hbv[8] AS h,
+          hbv[9] AS bd,
+          CASE hbv[10] WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 3
+                     WHEN 4 THEN 2 WHEN 6 THEN 4 ELSE 0 END AS ch
+        FROM hb),
+      okt AS (SELECT d.url, d.w, d.h, d.ch,
+          CASE WHEN d.bd = 8 AND d.ch > 0 AND px.np > 0
+               AND px.np = d.w * d.h * d.ch THEN 1 ELSE 0 END AS ok
+        FROM dims d JOIN px ON d.url = px.url),
+      pb AS (SELECT px.url,
+          (strpos('0123456789ABCDEF', substr(hex(px.pixels), 2*t.i - 1, 1)) - 1) * 16
+          + (strpos('0123456789ABCDEF', substr(hex(px.pixels), 2*t.i, 1)) - 1) AS v
+        FROM px CROSS JOIN LATERAL
+          (SELECT unnest(generate_series(1, CAST(octet_length(px.pixels) AS INT))) AS i) t),
+      pm AS (SELECT url,
+          CAST(FLOOR(10000.0 * sum(v) / count(*) + 0.5) AS BIGINT) AS mean_e4
+        FROM pb GROUP BY url)
       SELECT p.url, p.format, p.n_bytes, p.head_hex,
-        coalesce(e.entropy_e4, 0) AS entropy_e4
-      FROM p LEFT JOIN e ON p.url = e.url"""))
+        coalesce(e.entropy_e4, 0) AS entropy_e4,
+        CAST(coalesce(o.ok, 0) AS BIGINT) AS png_ok,
+        CAST(CASE WHEN coalesce(o.ok, 0) = 1 THEN o.w ELSE 0 END AS BIGINT) AS width,
+        CAST(CASE WHEN coalesce(o.ok, 0) = 1 THEN o.h ELSE 0 END AS BIGINT) AS height,
+        CAST(CASE WHEN coalesce(o.ok, 0) = 1 THEN o.ch ELSE 0 END AS BIGINT) AS channels,
+        CAST(CASE WHEN coalesce(o.ok, 0) = 1 THEN coalesce(m.mean_e4, 0) ELSE 0 END AS BIGINT) AS pixel_mean_e4
+      FROM p LEFT JOIN e ON p.url = e.url
+        LEFT JOIN okt o ON p.url = o.url
+        LEFT JOIN pm m ON p.url = m.url"""))
 
   /** ANN at scale: sign-random-projection LSH over embeddings. Each
     * vector gets 32 deterministic hyperplane sign bits (hyperplane
