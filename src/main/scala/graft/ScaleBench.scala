@@ -177,6 +177,40 @@ object ScaleBench {
         (name, sec, rows)
       }
     }.toMap
+    // ---- composed dedup pipeline (round-6 verdict #6) -------------------
+    // The ladders time queries in ISOLATION; the 100 TB story composes
+    // them: exact dedup -> LSH near-dup -> pairs->groups CC -> training-
+    // set gates, one corpus, one session, intermediates flowing exactly
+    // as a real job's materialized tables would (q25 consumes q15's
+    // cached confirmed pairs). x200 = 1M docs — double the deep ladder's
+    // largest tier, so the composition is also the largest single corpus
+    // in the evidence. Per-stage wall/gc/cpu/rows published; between
+    // stages the swap caches release as in the suite loop (Q15Result
+    // deliberately survives into q25 — that IS the composition).
+    val composed: Option[Seq[(String, Double, Long, Long, Long)]] = if (deep) {
+      val dir = s"$root/x200"
+      writeTables(spark, dir, 1000000L, 200000L)
+      val suite = Seq("q13_dedup_exact", "q15_lsh_near_dup",
+        "q25_dedup_groups", "q35_training_set")
+      Some(suite.map { name =>
+        val fn = Queries.all.find(_.name == name).get.fn
+        val gc0 = GcClock.ms
+        val cpu0 = CpuClock.ms
+        val t0 = System.nanoTime()
+        val rows =
+          try fn(spark, dir).count()
+          catch { case e: Throwable =>
+            failed += s"x200:$name"
+            System.err.println(s"[scale] x200 $name failed: ${e.getMessage}")
+            -1L
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        Queries.releaseSwapCaches()
+        (name, sec, rows, GcClock.ms - gc0,
+          if (cpu0 < 0) -1L else CpuClock.ms - cpu0)
+      })
+    } else None
+
     val line = {
       // ordered to match `scales` so the JSON reads x1 -> x100
       val per = scales.map { case (tag, _, _, _) =>
@@ -207,7 +241,13 @@ object ScaleBench {
       val docsArr = scales.map(_._2).mkString("[", ",", "]")
       val vecsArr = scales.map(_._3).mkString("[", ",", "]")
       val failedArr = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-      s"""{"metric":"scale_evidence_10x","docs":$docsArr,"vecs":$vecsArr,"failed_queries":$failedArr,$per,$rows,$ratioBlocks}"""
+      val composedBlock = composed.map { stages =>
+        val st = stages.map { case (n, sec, rws, gc, cpu) =>
+          s""""$n":{"sec":${f(sec)},"rows":$rws,"gc_ms":$gc,"cpu_ms":$cpu}"""
+        }.mkString(",")
+        s""","composed":{"docs":1000000,"vecs":200000,"total_sec":${f(stages.map(_._2).sum)},"stages":{$st}}"""
+      }.getOrElse("")
+      s"""{"metric":"scale_evidence_10x","docs":$docsArr,"vecs":$vecsArr,"failed_queries":$failedArr,$per,$rows,$ratioBlocks$composedBlock}"""
     }
     println(line)
     scala.util.Try(java.nio.file.Files.writeString(
