@@ -76,7 +76,7 @@ object Bench {
     "q35_training_set" -> 0.80, "q36_download_links" -> 0.13,
     "q37_pdf_dir_scan" -> 0.23, "q38_export_cleanup" -> 1.21,
     "q39_mode_fastscore" -> 0.65, "q40_stream_extract" -> 4.94,
-    "q41_jaccard_join" -> 5.30)
+    "q41_jaccard_join" -> 5.30, "q42_byte_weighted_route" -> 1.31)
 
   /** Timed leg: read the materialized pages table, parse+score, count —
     * the ONE shared body every harness JVM times (BenchCommon). */

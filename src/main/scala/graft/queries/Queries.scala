@@ -2156,9 +2156,10 @@ object Queries {
           .select("id_a", "id_b").distinct()
         // candidate-count probe (q41CandidateCount scaladoc): CollectMetrics
         // counts the rows flowing into the confirm stage inside the same
-        // action — no second job, no extra shuffle; sits ABOVE distinct so
-        // the count is the confirmed-join fan-in, the number that decides
-        // "candidate explosion" vs "slow host" for a wall-time anomaly
+        // action — no second job, no extra shuffle; it observes the
+        // post-distinct candidates, i.e. the confirm-join fan-in, the
+        // number that decides "candidate explosion" vs "slow host" for a
+        // wall-time anomaly
         val obs = org.apache.spark.sql.Observation()
         q41LastObs.set(obs)
         val candObserved = cand.observe(obs, count(lit(1)).as("n"))
@@ -2197,10 +2198,81 @@ object Queries {
         FROM j WHERE 10 * ni >= 9 * nu"""))
   }
 
+  /** Byte-weighted (parse-cost-balanced) routing on the correctness
+    * surface: the round-7 straggler-bound placement
+    * (ExtractPipeline.byteWeightedRoute — giant pages get dedicated
+    * murmur3-preimage bins, light pages hash-salt over a cost-sized
+    * partition count) must be RESULT-INVISIBLE — identical per-document
+    * extraction+scoring output to the plain salted path, per the north
+    * rule's byte-identical-text-per-url invariant. Both variants run over
+    * the same deterministic heavy-tail corpus (the page-size tail is what
+    * makes the heavy-bin path non-empty), both full outputs are dumped,
+    * and the rollup counts docs whose every dumped field matches across a
+    * full-outer join on url.
+    *
+    * The oracle re-derives the join+rollup from the dumps AND asserts the
+    * invariant in a WHERE guard (the q40 pattern): a kind whose docs are
+    * not all identical loses its oracle row entirely, so a routing bug
+    * that changes even one document becomes a row-count mismatch (red) —
+    * not a silently-agreed-upon smaller count. Floats cross the compare
+    * as Spark-rendered strings (both dumps come from the same renderer,
+    * so equality is bit-equality without any cross-engine float hazard);
+    * placement itself is pinned by PipelineSpec (murmur3 preimages vs
+    * spark_partition_id) and bounded by the bench defeat-pair legs —
+    * placement is not SQL-expressible, result identity is. */
+  private val q42 = Q(
+    "q42_byte_weighted_route",
+    (s, _) => {
+      val n = 1200L
+      val target = CorpusGen.TargetWords.toSet
+      val bycatch = CorpusGen.BycatchWords.toSet
+      def dumpCols(df: DataFrame): DataFrame =
+        df.selectExpr("url", "kind", "extracted_text", "title", "doi",
+          "matching_terms", "bycatch_terms", "total_word_count",
+          "CAST(wordscore AS STRING) AS wordscore_str",
+          // chr(1) separator: spans are human text, so the control char
+          // cannot occur and concatenation stays boundary-unambiguous
+          "array_join(citation_spans, chr(1)) AS spans_str", "n_bytes")
+      val pages = ExtractPipeline.heavyTailPages(s, n, 32)
+      val plain = auxTable(s, dumpCols(
+        ExtractPipeline.extractAndScore(pages, 32, target, bycatch).toDF()),
+        "q42_plain")
+      val routed = auxTable(s, dumpCols(
+        ExtractPipeline.extractAndScoreByteWeighted(pages, 32, target, bycatch)
+          .toDF()),
+        "q42_routed")
+      val same = Seq("extracted_text", "title", "doi", "matching_terms",
+        "bycatch_terms", "total_word_count", "wordscore_str", "spans_str",
+        "n_bytes")
+        .map(c => col(s"a.$c") === col(s"b.$c"))
+        .reduce(_ && _)
+      plain.as("a").join(routed.as("b"), col("a.url") === col("b.url"), "full_outer")
+        .select(
+          coalesce(col("a.kind"), col("b.kind")).as("kind"),
+          when(col("a.url").isNotNull && col("b.url").isNotNull && same, 1L)
+            .otherwise(0L).as("same"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_docs"), sum("same").as("n_identical"))
+    },
+    Some(s"""SELECT * FROM (
+      WITH a AS (SELECT * FROM read_parquet('$AuxDir/q42_plain/*.parquet')),
+        b AS (SELECT * FROM read_parquet('$AuxDir/q42_routed/*.parquet'))
+      SELECT COALESCE(a.kind, b.kind) AS kind, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN a.url IS NOT NULL AND b.url IS NOT NULL
+          AND a.extracted_text = b.extracted_text AND a.title = b.title
+          AND a.doi = b.doi AND a.matching_terms = b.matching_terms
+          AND a.bycatch_terms = b.bycatch_terms
+          AND a.total_word_count = b.total_word_count
+          AND a.wordscore_str = b.wordscore_str AND a.spans_str = b.spans_str
+          AND a.n_bytes = b.n_bytes THEN 1 ELSE 0 END) AS BIGINT) AS n_identical
+      FROM a FULL JOIN b ON a.url = b.url
+      GROUP BY 1
+    ) WHERE n_docs = n_identical"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41)
+    q41, q42)
 }

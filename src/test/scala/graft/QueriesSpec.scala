@@ -89,6 +89,19 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getAs[String]("kind")).toSet == Set("html", "pdf"))
   }
 
+  test("q42 byte-weighted routing is result-invisible on the heavy-tail corpus") {
+    // the invariant the oracle's WHERE guard asserts, pinned here too so
+    // a violation fails fast in sbt (not only as a driver row mismatch)
+    val rows = run("q42_byte_weighted_route").collect()
+    assert(rows.map(_.getAs[String]("kind")).toSet == Set("html", "pdf"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == r.getAs[Long]("n_identical"),
+        s"${r.getAs[String]("kind")}: only ${r.getAs[Long]("n_identical")} " +
+          s"of ${r.getAs[Long]("n_docs")} docs identical under byte-weighted routing")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 1200)
+  }
+
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Queries.all.count(_.oracle.isDefined)
     // 41 queries, ALL 41 oracled as of round 6: q17 — the last no_oracle
@@ -96,8 +109,9 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     // dumped verbatim, DuckDB re-derives the full-outer join and the
     // per-kind byte-identical rollup); the extraction ALGORITHMS stay
     // pinned by the sbt golden byte-equality suite. q27/q40/q19 gained
-    // their dump-re-derive oracles in round 5.
-    assert(withOracle == 41)
+    // their dump-re-derive oracles in round 5; q42 (byte-weighted-route
+    // result identity, invariant-asserting oracle) arrived in round 7.
+    assert(withOracle == 42)
     // no duplicate query names (the Map would silently collapse them and
     // the driver would lose a query)
     assert(SparkEntry.queries.size == Queries.all.size)
