@@ -117,7 +117,8 @@ object Bench {
       * .q41CandidateCount); retry_* describe the anomaly retry below. */
     final case class QueryStat(sec: Double, gcMs: Long, cpuMs: Long,
         cachedMbPeak: Long, cachedMbAfter: Long, candidates: Long,
-        retrySec: Double, retryGcMs: Long, retryCpuMs: Long, retryCandidates: Long)
+        retrySec: Double, retryGcMs: Long, retryCpuMs: Long,
+        retryCandidates: Long, retryOk: Boolean)
     def cachedMb: Long =
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum >> 20
     val queryStats = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -147,20 +148,32 @@ object Bench {
       // SwapCache discipline rebuilds its own generation).
       val anomaly = !failedQueries.contains(name) &&
         sec > CanonicalSec.get(name).map(c => math.max(3.0 * c, 3.0)).getOrElse(30.0)
-      val (retrySec, retryGcMs, retryCpuMs, retryCand) =
+      val (retrySec, retryGcMs, retryCpuMs, retryCand, retryOk) =
         if (anomaly) {
           System.err.println(s"[bench] $name anomaly: ${fmt(sec)}s — retrying in-JVM")
+          // q15/q25 consult the Q15Result RESULT cache, which deliberately
+          // survives releaseSwapCaches (q25 composes on it): without this
+          // invalidation the "fresh" retry reads the persisted pairs back
+          // in milliseconds and a genuine q15 engine regression would be
+          // misclassified as a transient host window (round-7 review)
+          if (name == "q15_lsh_near_dup" || name == "q25_dedup_groups")
+            graft.queries.Queries.invalidateResultCaches()
           val g0 = GcClock.ms
           val c0 = CpuClock.ms
+          var ok = true
           val rs = timeSec {
             try fn(spark, sfDir).count()
             catch { case e: Throwable =>
+              // a FAILED retry must be distinguishable from a fast one: a
+              // 0.8s time-to-crash published as retry.sec would read as
+              // "fast retry -> host window", the opposite of the truth
+              ok = false
               System.err.println(s"[bench] $name retry failed: ${e.getMessage}") }
           }
           val rc =
             if (name == "q41_jaccard_join") graft.queries.Queries.q41CandidateCount else -1L
-          (rs, GcClock.ms - g0, if (c0 < 0) -1L else CpuClock.ms - c0, rc)
-        } else (-1.0, -1L, -1L, -1L)
+          (rs, GcClock.ms - g0, if (c0 < 0) -1L else CpuClock.ms - c0, rc, ok)
+        } else (-1.0, -1L, -1L, -1L, true)
       // release this query's SwapCache generation BEFORE the next query
       // runs (round-5 verdict #1): by q41 the parent otherwise holds
       // q15's + q24's + q26's + q41's MEMORY_AND_DISK generations at
@@ -171,7 +184,7 @@ object Bench {
       // (that is the swap contract's steady state anyway).
       graft.queries.Queries.releaseSwapCaches()
       name -> QueryStat(sec, gcMs, cpuMs, cachedPeak, cachedMb, candidates,
-        retrySec, retryGcMs, retryCpuMs, retryCand)
+        retrySec, retryGcMs, retryCpuMs, retryCand, retryOk)
     }
     val queryTimes = queryStats.map { case (n, st) => n -> st.sec }
     // drop phase-1's persisted LSH/ANN intermediates before timing the
@@ -367,13 +380,9 @@ object Bench {
       val gc0 = GcClock.ms
       val cpu0 = CpuClock.ms
       val sec = timeSec {
-        (route match {
-          case "domain"       => BenchCommon.countOkDomainPartitioned(spark, path, cpus)
-          case "salted"       => BenchCommon.countOk(spark, path, cpus)
-          case "salted_fine"  => BenchCommon.countOk(spark, path, cpus * 4)
-          case "byteweighted" => BenchCommon.countOkByteWeighted(spark, path, cpus * 4)
-          case _              => BenchCommon.countOk(spark, path, 0)
-        }): Unit
+        // identical dispatch to the BenchLeg child by construction —
+        // BenchCommon.countOkRoute is the ONE route map (round-7 review)
+        BenchCommon.countOkRoute(spark, path, cpus, route): Unit
       }
       val gcMs = GcClock.ms - gc0
       val cpuMs = if (cpu0 < 0) -1L else CpuClock.ms - cpu0
@@ -570,7 +579,7 @@ object Bench {
       // retry block only when the anomaly retry actually ran — a -1.0
       // retry_sec would read as "retried, instant"
       val retry = if (st.retrySec >= 0)
-        s""","retry":{"sec":${fmt(st.retrySec)},"gc_ms":${st.retryGcMs},"cpu_ms":${st.retryCpuMs},"candidates":${st.retryCandidates}}"""
+        s""","retry":{"sec":${fmt(st.retrySec)},"gc_ms":${st.retryGcMs},"cpu_ms":${st.retryCpuMs},"candidates":${st.retryCandidates},"ok":${st.retryOk}}"""
       else ""
       s""""$k":{"gc_ms":${st.gcMs},"cpu_ms":${st.cpuMs},"cached_mb_peak":${st.cachedMbPeak},"cached_mb_after":${st.cachedMbAfter},"candidates":${st.candidates}$retry}"""
     }.mkString("{", ",", "}")

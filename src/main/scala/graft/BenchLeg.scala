@@ -47,13 +47,7 @@ object BenchLeg {
     // cpus*4 partitions — the comparison is routing POLICY at identical
     // granularity, and 4x over-partitioning is the standard scheduler
     // headroom a cluster job would run with anyway
-    def leg(path: String): Long = route match {
-      case "domain"       => BenchCommon.countOkDomainPartitioned(spark, path, cpus)
-      case "salted"       => BenchCommon.countOk(spark, path, cpus)
-      case "salted_fine"  => BenchCommon.countOk(spark, path, cpus * 4)
-      case "byteweighted" => BenchCommon.countOkByteWeighted(spark, path, cpus * 4)
-      case _              => BenchCommon.countOk(spark, path, 0)
-    }
+    def leg(path: String): Long = BenchCommon.countOkRoute(spark, path, cpus, route)
     val listener = new TaskTimeListener
     if (rich) spark.sparkContext.addSparkListener(listener)
     leg(warmPath); leg(pagesPath) // JIT warm

@@ -91,6 +91,22 @@ private[graft] object BenchCommon {
     countOk(graft.pipeline.ExtractPipeline.byteWeightedRoute(
       spark.read.parquet(path).as[PageRecord], parts), 0)
   }
+
+  /** THE route-string dispatch, shared by the pinned BenchLeg child and
+    * Bench's in-process parent fallback. Round-7 review: the 5-case match
+    * was hand-duplicated across the two files, and a route added to one
+    * copy but not the other makes the fallback silently run a DIFFERENT
+    * computation than the child it substitutes for — a methodology
+    * mismatch inside a published comparative claim (the r6 parentParseLeg
+    * incident class). One body, one invariant. */
+  def countOkRoute(spark: SparkSession, path: String, cpus: Int, route: String): Long =
+    route match {
+      case "domain"       => countOkDomainPartitioned(spark, path, cpus)
+      case "salted"       => countOk(spark, path, cpus)
+      case "salted_fine"  => countOk(spark, path, cpus * 4)
+      case "byteweighted" => countOkByteWeighted(spark, path, cpus * 4)
+      case _              => countOk(spark, path, 0)
+    }
 }
 
 /** Process CPU time in ms (com.sun OperatingSystemMXBean; -1 when the

@@ -201,7 +201,8 @@ object ExtractPipeline {
     * heavy page is ≥ half a task's cost budget, so at most 2·parts of
     * them exist); light pages hash-salt across a partition count sized by
     * the REMAINING cost. Exact placement uses the murmur3 route
-    * preimages above. Cost: one narrow (url, cost) stats pass — at
+    * preimages above. Cost: one narrow (url, cost) stats pass (grouped
+    * per url — partial-agg shuffles only the distinct-url cost map) — at
     * 100 TB a production pages table carries byte-length + content-type
     * metadata columns (Iceberg column stats give sum/max for free) and
     * the pass collapses to a metadata read; the routing itself is the
@@ -214,18 +215,26 @@ object ExtractPipeline {
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
-    val statsRow = pages
-      .agg(sum(parseCostCol), max(parseCostCol)).head()
+    // cost aggregates PER URL: url is the routing key, so a url fetched
+    // twice (same page, two warc_ts — real crawl tables have these) is
+    // one irreducible placement unit and must be budgeted as the SUM of
+    // its rows' costs. Packing raw rows instead would collapse the
+    // duplicates in packHeavy's url-keyed Map — the bin reserves space
+    // for one row but receives both, and the ~1.5x straggler bound
+    // silently breaks (round-7 review).
+    val perUrl = pages
+      .select(col("url"), parseCostCol.as("cost"))
+      .groupBy("url").agg(sum("cost").as("cost"))
+    val statsRow = perUrl.agg(sum("cost"), max("cost")).head()
     if (statsRow.isNullAt(0))
       return pages // empty input: nothing to balance
     val totalCost = statsRow.getLong(0)
     val maxCost = statsRow.getLong(1).max(0L)
     val budget = byteBudget(totalCost, maxCost, parts)
     val cutoff = math.max(1L, budget / 2)
-    val heavy = pages
-      .select(col("url"), parseCostCol.as("cost"))
+    val heavy = perUrl
       .filter(col("cost") >= cutoff)
-      .as[(String, Long)].collect().toSeq // bounded: ≤ totalCost/cutoff ≤ 2·parts rows
+      .as[(String, Long)].collect().toSeq // bounded: ≤ totalCost/cutoff ≤ 2·parts url groups
     val bins = packHeavy(heavy, budget)
     val nBins = if (bins.isEmpty) 0 else bins.values.max + 1
     val heavyCost = heavy.map(_._2).sum

@@ -136,6 +136,40 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"byte-weighted routing left a straggler: ${bw.sorted.mkString(",")}")
   }
 
+  test("byte-weighted routing budgets duplicate-url fetches as one unit") {
+    import spark.implicits._
+    // a crawl table holds the same url fetched twice (two warc_ts). url
+    // is the routing key, so both rows are ONE irreducible placement
+    // unit and must be budgeted as the SUM of their costs. The round-7
+    // review found row-keyed packing collapsed the duplicates in
+    // packHeavy's url-keyed Map: the bin reserved space for one row,
+    // received both, and pLight was sized from an undercounted
+    // heavyCost. This corpus discriminates: 400 light urls x 1k bytes +
+    // one giant url duplicated at 300k bytes each; per-url accounting
+    // gives budget=400k (giant solo bin 600k, one light bin ~400k,
+    // max/med 1.5); row-keyed accounting gave budget=250k, a phantom
+    // empty bin, and a 3.0 max/med.
+    def rec(url: String, tsMs: Long, n: Int) = graft.model.PageRecord(
+      url, new java.sql.Timestamp(tsMs), Array.fill(n)('a'.toByte), "", "en")
+    val light = (0 until 400).map(i => rec(s"http://l/$i", 0L, 1000))
+    val giants = Seq(rec("http://g/0", 0L, 300000), rec("http://g/0", 1L, 300000))
+    val pages = spark.createDataset(light ++ giants).repartition(8)
+    val routed = ExtractPipeline.byteWeightedRoute(pages, 4)
+    // both fetches of the giant land in one partition (url routing)...
+    val giantParts = routed.filter(_.url == "http://g/0")
+      .mapPartitions(it => Iterator.single(
+        (org.apache.spark.TaskContext.getPartitionId(), it.size)))
+      .collect().filter(_._2 > 0)
+    assert(giantParts.length == 1, giantParts.mkString(","))
+    // ...and the load is balanced in per-URL terms: the giant unit is
+    // irreducible at 600k, the light partitions sit near the 400k budget
+    val loads = routed.mapPartitions(it =>
+      Iterator(it.map(_.html.length.toLong).sum)).collect().filter(_ > 0)
+    val s = loads.sorted
+    assert(s.last.toDouble / s(s.length / 2) <= 1.6,
+      s"duplicate-url giant broke the bound: ${s.mkString(",")}")
+  }
+
   test("half_float expression quantizes like the pure function (codegen path)") {
     import spark.implicits._
     GraftFunctions.registerAll(spark)

@@ -33,6 +33,10 @@ def main(argv):
     i = 0
     while i < len(argv):
         if argv[i] == "--factor":
+            if i + 1 >= len(argv):
+                print("--factor requires a value")
+                print(__doc__)
+                return 2
             factor = float(argv[i + 1])
             i += 2
         else:
@@ -98,11 +102,16 @@ def main(argv):
         if cd is not None and cd > 0:
             print(f"note: new run {i + 1} cycle_delivery={cd:.3f}")
 
-    if missing:
-        print(f"\n{len(missing)} canonical queries missing from new run(s)")
     if regressions:
         print(f"\nFAIL: {len(regressions)} consistent >{factor}x regression(s)")
         return 1
+    if missing:
+        # a query whose number VANISHED (dropped/renamed query, wrong or
+        # empty NEW file) is strictly worse than a slow one — a gate that
+        # prints 'missing' but exits 0 silently passes it (round-7 review)
+        print(f"\nFAIL: {len(missing)} canonical queries missing from "
+              f"new run(s) — dropped query or wrong file?")
+        return 2
     print(f"\nOK: no consistent >{factor}x regression "
           f"across {len(news)} new run(s)")
     return 0
