@@ -78,6 +78,24 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(after == before)
   }
 
+  test("invalidateResultCaches forces a genuinely fresh q15/q25 build") {
+    import org.apache.spark.storage.StorageLevel
+    // the anomaly-retry harness calls this before re-running q15/q25;
+    // if the hook ever stops dropping the Q15Result entry the retry
+    // silently measures a cache read again (round-7 review finding)
+    val before = run("q25_dedup_groups").collect().map(_.toSeq).toSet
+    val pairs0 = Queries.q15CachedPairs(spark, sf).get
+    assert(pairs0.storageLevel != StorageLevel.NONE)
+    Queries.invalidateResultCaches()
+    assert(Queries.q15CachedPairs(spark, sf).isEmpty,
+      "Q15Result entry survived invalidateResultCaches")
+    assert(pairs0.storageLevel == StorageLevel.NONE,
+      "invalidate must unpersist the dropped pairs frame")
+    // and the rebuild reproduces the same groups
+    assert(run("q25_dedup_groups").collect().map(_.toSeq).toSet == before)
+    assert(Queries.q15CachedPairs(spark, sf).isDefined)
+  }
+
   test("q40 streaming rollup deduplicates the planted duplicate pages") {
     // q40 writes every page TWICE; the watermarked dedup must halve it,
     // and the rollup totals are the sbt-side pin for the rows-only
