@@ -146,8 +146,15 @@ object Bench {
       // proves engine/state and the candidate count bisects which. The
       // retry is a full fresh invocation (each query's release-first
       // SwapCache discipline rebuilds its own generation).
+      // SPARK_GRAFT_ANOMALY_FORCE=<query name> fires the retry machinery
+      // unconditionally for that query — an evidence knob, not a tuning
+      // one: it lets a smoke run DEMONSTRATE the retry path in an
+      // artifact (incl. the q15/q25 result-cache invalidation: a forced
+      // q15 retry must take ~first-run time, not a cache-read's
+      // milliseconds) without doctoring the canonical table
       val anomaly = !failedQueries.contains(name) &&
-        sec > CanonicalSec.get(name).map(c => math.max(3.0 * c, 3.0)).getOrElse(30.0)
+        (sys.env.get("SPARK_GRAFT_ANOMALY_FORCE").contains(name) ||
+          sec > CanonicalSec.get(name).map(c => math.max(3.0 * c, 3.0)).getOrElse(30.0))
       val (retrySec, retryGcMs, retryCpuMs, retryCand, retryOk) =
         if (anomaly) {
           System.err.println(s"[bench] $name anomaly: ${fmt(sec)}s — retrying in-JVM")
