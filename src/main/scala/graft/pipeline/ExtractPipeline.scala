@@ -222,19 +222,28 @@ object ExtractPipeline {
     // duplicates in packHeavy's url-keyed Map — the bin reserves space
     // for one row but receives both, and the ~1.5x straggler bound
     // silently breaks (round-7 review).
+    // persisted across the two driver actions below (stats head() +
+    // heavy collect()): separate actions don't share shuffle stages, so
+    // an unpersisted perUrl would pay the full pages scan, the PDF-sniff
+    // cost evaluation, and the url-groupBy exchange TWICE — inside the
+    // timed byteweighted bench leg (round-7 review). Released before the
+    // routing shuffle runs.
     val perUrl = pages
       .select(col("url"), parseCostCol.as("cost"))
       .groupBy("url").agg(sum("cost").as("cost"))
-    val statsRow = perUrl.agg(sum("cost"), max("cost")).head()
-    if (statsRow.isNullAt(0))
-      return pages // empty input: nothing to balance
-    val totalCost = statsRow.getLong(0)
-    val maxCost = statsRow.getLong(1).max(0L)
-    val budget = byteBudget(totalCost, maxCost, parts)
-    val cutoff = math.max(1L, budget / 2)
-    val heavy = perUrl
-      .filter(col("cost") >= cutoff)
-      .as[(String, Long)].collect().toSeq // bounded: ≤ totalCost/cutoff ≤ 2·parts url groups
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (budget, heavy, totalCost) =
+      try {
+        val statsRow = perUrl.agg(sum("cost"), max("cost")).head()
+        if (statsRow.isNullAt(0))
+          return pages // empty input: nothing to balance (finally still releases)
+        val b = byteBudget(statsRow.getLong(0), statsRow.getLong(1).max(0L), parts)
+        val cutoff = math.max(1L, b / 2)
+        (b,
+          perUrl.filter(col("cost") >= cutoff)
+            .as[(String, Long)].collect().toSeq, // bounded: ≤ 2·parts url groups
+          statsRow.getLong(0))
+      } finally perUrl.unpersist(blocking = false)
     val bins = packHeavy(heavy, budget)
     val nBins = if (bins.isEmpty) 0 else bins.values.max + 1
     val heavyCost = heavy.map(_._2).sum

@@ -58,11 +58,20 @@ def main(argv):
     # exceeds the factor — a single healthy run acquits it
     rows = []
     for name, base in sorted(cq.items()):
-        ratios = [n.get("queries", {}).get(name) for n in news]
-        ratios = [r / base for r in ratios if r is not None and base > 0]
-        if not ratios:
+        raw = [n.get("queries", {}).get(name) for n in news]
+        if base <= 0:
+            # a 0.000s canonical (sub-ms query rounded by %.3f) can never
+            # produce a ratio; report it, don't hard-fail every future
+            # run on it — it is not a vanished query
+            rows.append((name, base, None, None, "unusable-baseline"))
+            continue
+        if any(r is None for r in raw):
+            # missing from ANY new run is the dropped-query / truncated-
+            # file condition — a healthy number in the OTHER run must not
+            # acquit it (partial vanishing is still vanishing)
             rows.append((name, base, None, None, "missing"))
             continue
+        ratios = [r / base for r in raw]
         best, worst = min(ratios), max(ratios)
         verdict = "REGRESSION" if best > factor else (
             "suspect" if worst > factor else "ok")
@@ -70,12 +79,15 @@ def main(argv):
 
     regressions = [r for r in rows if r[4] == "REGRESSION"]
     missing = [r for r in rows if r[4] == "missing"]
+    unusable = [r for r in rows if r[4] == "unusable-baseline"]
 
     width = max(len(r[0]) for r in rows)
     for name, base, best, worst, verdict in sorted(
             rows, key=lambda r: -(r[3] or 0)):
         if best is None:
-            print(f"{name:<{width}}  base={base:7.3f}s  MISSING in new run(s)")
+            tag = ("MISSING in new run(s)" if verdict == "missing"
+                   else "unusable 0.000s baseline (skipped)")
+            print(f"{name:<{width}}  base={base:7.3f}s  {tag}")
         else:
             mark = "" if verdict == "ok" else f"  <-- {verdict}"
             print(f"{name:<{width}}  base={base:7.3f}s  "
@@ -102,15 +114,22 @@ def main(argv):
         if cd is not None and cd > 0:
             print(f"note: new run {i + 1} cycle_delivery={cd:.3f}")
 
+    # report BOTH failure conditions before exiting (an operator fixing
+    # the regression must not be surprised by a missing-query failure
+    # the first summary never mentioned — round-7 review)
+    if unusable:
+        print(f"\nnote: {len(unusable)} canonical baselines are 0.000s "
+              f"and were skipped")
+    if missing:
+        # a query whose number VANISHED (dropped/renamed query, wrong or
+        # truncated NEW file) is strictly worse than a slow one — a gate
+        # that prints 'missing' but exits 0 silently passes it
+        print(f"\nFAIL: {len(missing)} canonical queries missing from "
+              f"new run(s) — dropped query or wrong file?")
     if regressions:
         print(f"\nFAIL: {len(regressions)} consistent >{factor}x regression(s)")
         return 1
     if missing:
-        # a query whose number VANISHED (dropped/renamed query, wrong or
-        # empty NEW file) is strictly worse than a slow one — a gate that
-        # prints 'missing' but exits 0 silently passes it (round-7 review)
-        print(f"\nFAIL: {len(missing)} canonical queries missing from "
-              f"new run(s) — dropped query or wrong file?")
         return 2
     print(f"\nOK: no consistent >{factor}x regression "
           f"across {len(news)} new run(s)")
