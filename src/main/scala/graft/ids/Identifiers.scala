@@ -27,7 +27,7 @@ object Identifiers {
   // and those chars do occur in PDF-extracted text. Every \s in this
   // file's patterns sits INSIDE a character class, so appending the
   // separator range to each class makes the two engines' sets equal
-  // (empirically: '10.1234/abcmore' extracts in the reference but
+  // (empirically: '10.1234/abc<U+001C>more' extracts in the reference but
   // failed here before this rewrite; parity pinned in IdentifiersSpec).
   private def withPySpace(re: String): String =
     re.replace("""\s""", """\s\x1c-\x1f""")
