@@ -89,12 +89,19 @@ object DedupGroups {
   def groups(pairs: DataFrame, memberCap: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val labels = connectedComponents(pairs)
-    val counts = labels.groupBy("rep").agg(count(lit(1)).as("n_members"))
-    val members = labels
+    // ONE aggregation over the window's existing rep-partitioning instead
+    // of the former two (counts + capped members) joined back together:
+    // collect_list skips nulls, so when(rnk <= cap, id) bounds the agg
+    // buffer exactly like the old rank-filter-then-collect while count(*)
+    // still sees every row — same output, minus one groupBy exchange and
+    // the rep-keyed join (the window already partitioned by rep, so the
+    // single groupBy reuses that exchange)
+    labels
       .withColumn("rnk", row_number().over(Window.partitionBy("rep").orderBy("id")))
-      .filter(col("rnk") <= memberCap)
       .groupBy("rep")
-      .agg(sort_array(collect_list("id")).as("members"))
-    counts.join(members, Seq("rep"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sort_array(collect_list(when(col("rnk") <= memberCap, col("id"))))
+          .as("members"))
   }
 }

@@ -778,16 +778,20 @@ object Queries {
         // of the jaccard join — persist it once instead of recomputing the
         // scan+tokenize+md5 three times (at scale: a materialized
         // signature table)
+        // sz rides in the persisted projection: the confirm stage derives
+        // the union size as sz_a + sz_b - overlap (exact — sh is an
+        // array_distinct output), so the per-pair array_union pass is gone
         val augCached = base.unionByName(
               base.selectExpr(s"id + $mOff AS id", "slice(toks, 2, size(toks)) AS toks"))
             .selectExpr("id", s"$sparkShingles AS sh")
+            .selectExpr("id", "sh", "CAST(size(sh) AS BIGINT) AS sz")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // exclude shingle-less docs (< 3 tokens) before banding: their
         // 0/0 Jaccard NaN-aborts the ANSI cast once >cap share a
         // degenerate bucket (round-6 review; oracle-mirrored). ABOVE the
-        // persist: below it, pushdown re-evaluates the shingle expression
-        // in the scan filter — tokenize+md5 TWICE per row (7.4 -> 17.5 s)
-        val aug = augCached.filter("size(sh) > 0")
+        // persist (below it, pushdown re-evaluates the shingle expression
+        // in the scan filter — tokenize+md5 TWICE per row, 7.4 -> 17.5 s)
+        val aug = augCached.filter("sz > 0")
         // minhash_bands: one pass over raw md5 digests, byte-identical
         // to the SQL lane construction (MinHashBands scaladoc); r=2
         // banding collides pairs at ~J^2 (41x fewer candidates, 99.96%
@@ -829,11 +833,20 @@ object Queries {
           .unionByName(sigs.filter(s"n > $BucketCap AND id != rep")
             .selectExpr("rep AS id_a", "id AS id_b"))
           .distinct()
+        // ONE set pass per candidate pair (DistinctOverlap scaladoc): the
+        // former size(array_intersect)/size(array_union) pair built two
+        // hash sets AND materialized two result arrays per pair — at 716k
+        // sf0.1 candidates that double pass was the confirm stage's CPU.
+        // |A ∪ B| = sz_a + sz_b - |A ∩ B| is exact (sh is distinct), and
+        // the double arithmetic below is the same IEEE sequence as before
+        // (10000.0 * ni / nu with integer-valued operands), so jaccard_e4
+        // is bit-identical to the oracle's.
         pairs
-          .join(aug.selectExpr("id AS id_a", "sh AS sh_a"), Seq("id_a"))
-          .join(aug.selectExpr("id AS id_b", "sh AS sh_b"), Seq("id_b"))
+          .join(aug.selectExpr("id AS id_a", "sh AS sh_a", "sz AS sz_a"), Seq("id_a"))
+          .join(aug.selectExpr("id AS id_b", "sh AS sh_b", "sz AS sz_b"), Seq("id_b"))
+          .withColumn("ni", GraftFunctions.distinct_overlap(col("sh_a"), col("sh_b")))
           .selectExpr("id_a", "id_b",
-            "CAST(FLOOR(10000.0 * size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b)) + 0.5) AS BIGINT) AS jaccard_e4")
+            "CAST(FLOOR(10000.0 * ni / (sz_a + sz_b - ni) + 0.5) AS BIGINT) AS jaccard_e4")
           .filter("jaccard_e4 >= 8000")
       },
       Some(s"WITH $q15DuckCtes SELECT id_a, id_b, jaccard_e4 FROM dup"))
@@ -2179,12 +2192,19 @@ object Queries {
         val obs = org.apache.spark.sql.Observation()
         q41LastObs.set(obs)
         val candObserved = cand.observe(obs, count(lit(1)).as("n"))
+        // ONE set pass per candidate (DistinctOverlap scaladoc): gs is an
+        // array_distinct output, so |A ∪ B| = sz_a + sz_b - |A ∩ B|
+        // exactly, and the former array_intersect + array_union double
+        // pass (two set builds + two materialized arrays per candidate —
+        // the confirm stage's CPU at 716k candidates) collapses to one
+        // membership count. The exact RATIONAL tau gate and the e4
+        // arithmetic are unchanged in value: ni/nu are the same integers,
+        // only now computed as longs.
         candObserved
-          .join(grams.selectExpr("id AS id_a", "gs AS gs_a"), Seq("id_a"))
-          .join(grams.selectExpr("id AS id_b", "gs AS gs_b"), Seq("id_b"))
-          .selectExpr("id_a", "id_b",
-            "size(array_intersect(gs_a, gs_b)) AS ni",
-            "size(array_union(gs_a, gs_b)) AS nu")
+          .join(grams.selectExpr("id AS id_a", "gs AS gs_a", "sz AS sz_a"), Seq("id_a"))
+          .join(grams.selectExpr("id AS id_b", "gs AS gs_b", "sz AS sz_b"), Seq("id_b"))
+          .withColumn("ni", GraftFunctions.distinct_overlap(col("gs_a"), col("gs_b")))
+          .selectExpr("id_a", "id_b", "ni", "CAST(sz_a + sz_b AS BIGINT) - ni AS nu")
           .filter("10 * ni >= 9 * nu")
           .selectExpr("id_a", "id_b",
             "CAST(FLOOR(10000.0 * ni / nu + 0.5) AS BIGINT) AS jaccard_e4")
