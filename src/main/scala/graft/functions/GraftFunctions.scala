@@ -319,9 +319,67 @@ object DistinctOverlap {
   }
 }
 
+/** Count of common elements between two array<bigint> columns whose
+  * elements are DISTINCT and ASCENDING-SORTED within each array (the
+  * call-site contract: q41's gram-id arrays are sort_array(collect_list)
+  * outputs over a bijective dictionary). A linear merge walk — no hash
+  * set, no allocation, long compares instead of string hashing — so the
+  * per-candidate-pair cost drops another ~10x below DistinctOverlap on
+  * string arrays. Null elements (sort_array places them first) are
+  * skipped; they cannot occur at the call sites.
+  */
+case class SortedOverlapI64(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_overlap_i64 needs two array<bigint> columns, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SortedOverlapI64.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedOverlapI64.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedOverlapI64 {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    // skip leading nulls (sort_array ascending puts nulls first)
+    while (i < n && a.isNullAt(i)) i += 1
+    while (j < m && b.isNullAt(j)) j += 1
+    var acc = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { acc += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    acc
+  }
+}
+
 object GraftFunctions {
   def half_float(c: Column): Column =
     Shim.column(HalfFloat(Shim.expression(c)))
+  def sorted_overlap_i64(a: Column, b: Column): Column =
+    Shim.column(SortedOverlapI64(Shim.expression(a), Shim.expression(b)))
   def distinct_overlap(a: Column, b: Column): Column =
     Shim.column(DistinctOverlap(Shim.expression(a), Shim.expression(b)))
   def minhash_bands(c: Column): Column =
@@ -357,6 +415,8 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => { requireArity("minhash_bands", exprs, 1); MinHashBands(exprs.head) }),
     ("distinct_overlap", classOf[DistinctOverlap],
       (exprs: Seq[Expression]) => { requireArity("distinct_overlap", exprs, 2); DistinctOverlap(exprs(0), exprs(1)) }),
+    ("sorted_overlap_i64", classOf[SortedOverlapI64],
+      (exprs: Seq[Expression]) => { requireArity("sorted_overlap_i64", exprs, 2); SortedOverlapI64(exprs(0), exprs(1)) }),
   )
 
   def registerAll(spark: SparkSession): Unit =

@@ -32,7 +32,11 @@ object DedupGroups {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // each vertex takes min(own label, neighbors' labels)
+      // each vertex takes min(own label, neighbors' labels); `prev`
+      // (the incoming label) rides along so the convergence probe below
+      // is a scan of THIS checkpoint's cached partitions — the former
+      // probe joined the post-jump labels back against the previous
+      // generation, a full extra shuffle job every other hop
       val viaNeighbors = edges
         .join(labels.select(col("id").as("nbr"), col("rep").as("nrep")),
           col("b") === col("nbr"))
@@ -42,25 +46,26 @@ object DedupGroups {
       // without it the self-joins double the plan tree per hop and the
       // analyzer stack-overflows around iteration 10
       val hop = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("rep").as("prev"),
           least(col("rep"), coalesce(col("nbrMin"), col("rep"))).as("rep"))
         .localCheckpoint(true)
-      // pointer jump (path halving): rep <- label(rep), contracting chains
-      // geometrically so convergence is O(log diameter), not O(diameter)
-      val next = hop
-        .join(hop.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
-        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
-        .localCheckpoint(true)
-      // convergence probe only every other hop (and on the last): each
-      // probe is a full extra Spark job, and duplicate clusters converge
-      // in 1-2 hops anyway — the odd-hop probe halves the per-run job
-      // count without ever adding more than one surplus hop
-      if (i % 2 == 1 || i == maxIters - 1) {
-        val changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
-          .filter(col("rep") =!= col("prev")).limit(1).count()
-        converged = changed == 0
-      }
-      labels = next
+      // probe BEFORE the pointer jump: a hop that moved nothing means
+      // labels were already the fixpoint (min(own, neighbors) == own for
+      // every vertex => labels uniform per component => the component
+      // min), so the final iteration's jump join never runs at all —
+      // the jump only ACCELERATES convergence, it cannot create
+      // movement at a hop fixpoint (rep is the component min, whose own
+      // label is itself)
+      converged = hop.filter(col("rep") =!= col("prev")).limit(1).count() == 0
+      if (!converged) {
+        // pointer jump (path halving): rep <- label(rep), contracting
+        // chains geometrically so convergence is O(log diameter), not
+        // O(diameter)
+        labels = hop
+          .join(hop.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
+          .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
+          .localCheckpoint(true)
+      } else labels = hop.select(col("id"), col("rep"))
       i += 1
     }
     edges.unpersist()

@@ -392,14 +392,28 @@ object Queries {
     * the two facts co-partitioned by orderkey + BHJ for the dim. */
   private val q03 = Q(
     "q03_join_revenue",
-    (s, dir) =>
-      t(s, dir, "lineitem")
+    (s, dir) => {
+      // aggregate BEFORE the fact-fact shuffle (guide §2.3): lineitem
+      // collapses to one (orderkey, revenue, count) row per order ahead
+      // of the join, so the exchange carries ~4x fewer rows (map-side
+      // partial agg compacts before the wire) and the SMJ sorts the
+      // compacted side; the per-row FLOOR quantization is unchanged and
+      // integer sums re-associate exactly, so revenue_e2/n_rows are the
+      // same BIGINTs as the row-level join the oracle runs. The groupBy's
+      // orderkey exchange doubles as the join's — no exchange added.
+      val perOrder = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+          sum(expr("FLOOR(l_extendedprice*(1.0-l_discount)*100.0 + 0.5)")).as("rev"),
+          count(lit(1)).as("n"))
+      perOrder
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(
-          sum(expr("FLOOR(l_extendedprice*(1.0-l_discount)*100.0 + 0.5)")).as("revenue_e2"),
-          count(lit(1)).as("n_rows")),
+          sum("rev").as("revenue_e2"),
+          sum("n").as("n_rows"))
+    },
     Some("""SELECT c_mktsegment, o_orderpriority,
       CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2,
       CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -1199,20 +1213,30 @@ object Queries {
         // cached nrm column
         val qq = qqCached.filter("nrm > 0")
         val sigs = qq.selectExpr("vec_id", sStack)
+        // distinct runs on a vec_id-only repartition (guide §2.4): that
+        // partitioning satisfies both the (vec_id, neighbor_id) dedup
+        // clustering AND the final window's vec_id clustering, so the
+        // re-rank window adds no exchange of its own
         val cand = sigs.filter(col("vec_id") < 100)
           .selectExpr("vec_id", "tbl", "bucket")
           .join(sigs.selectExpr("vec_id AS neighbor_id", "tbl AS tbl2", "bucket AS bucket2"),
             expr("tbl = tbl2 AND bucket = bucket2 AND vec_id <> neighbor_id"))
-          .select("vec_id", "neighbor_id").distinct()
+          .select("vec_id", "neighbor_id").repartition(col("vec_id")).distinct()
         // re-rank sides join WITHOUT a broadcast hint: the embedding table
         // is the corpus — at 100x it is a multi-GB build side, so the
         // correct shape is a plain shuffle equi-join on vec_id/neighbor_id
         // against the (small) candidate set; AQE is free to downgrade to a
         // broadcast at runtime when the actual side is tiny (QueriesSpec
         // pins that no broadcast HINT exists in q24's plan)
+        // neighbor side first, vec_id side LAST (inner joins commute):
+        // whichever strategy the planner picks, the re-rank window's
+        // vec_id clustering is already established — by the distinct's
+        // vec_id repartition when the joins broadcast, or by the final
+        // vec_id-keyed shuffle join otherwise — so the window adds no
+        // exchange
         val scored = cand
-          .join(qq.selectExpr("vec_id", "qv AS qa", "nrm AS na"), Seq("vec_id"))
           .join(qq.selectExpr("vec_id AS neighbor_id", "qv AS qb", "nrm AS nb"), Seq("neighbor_id"))
+          .join(qq.selectExpr("vec_id", "qv AS qa", "nrm AS na"), Seq("vec_id"))
           .withColumn("dot", GraftFunctions.dot_i64(col("qa"), col("qb")))
           .selectExpr("vec_id", "neighbor_id",
             "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS c")
@@ -1785,6 +1809,12 @@ object Queries {
         .withColumn("dot", GraftFunctions.dot_i64(col("qa"), col("qb")))
         .selectExpr("vec_id", "neighbor_id",
           "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS c")
+        // ONE exchange for dedup + re-rank (guide §2.4): partitioning by
+        // vec_id alone satisfies the (vec_id, neighbor_id) clustering the
+        // dedup agg needs AND the window's vec_id clustering, so the
+        // former agg exchange on (vec_id, neighbor_id) + window exchange
+        // on vec_id collapse into this single repartition
+        .repartition(col("vec_id"))
         .groupBy("vec_id", "neighbor_id").agg(max("c").as("c")) // probe hit via both cells -> once
         .withColumn("rnk", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("c").desc, col("neighbor_id"))))
@@ -2067,14 +2097,32 @@ object Queries {
       val base = java.nio.file.Files.createTempDirectory("graft_q40")
       try {
         val inDir = base.resolve("in").toString
-        val pages = ExtractPipeline.pages(s, 200, 8)
+        val nDocs = 200L
+        val pages = ExtractPipeline.pages(s, nDocs, 8)
         pages.write.mode("append").parquet(inDir)
         pages.write.mode("append").parquet(inDir) // planted exact duplicates
-        val q = graft.streaming.StreamingExtract.run(s, inDir,
-          base.resolve("out").toString, base.resolve("ck").toString,
-          CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet,
-          availableNow = true, dedup = true)
-        q.awaitTermination()
+        // state-store shard count sized to the stream, not to the session
+        // core count (guide §2: derive partitioning from input size): the
+        // dedup state holds one entry per in-watermark url, and each
+        // shard is a per-batch commit (provider load + delta file +
+        // maintenance) whose fixed cost dominates when shards hold a few
+        // rows — 32 shards for a 400-row drain measured 2.4 s vs 1.3-1.5 s
+        // at the derived count. ~100k state rows per shard before adding
+        // shards; a 100 TB ingest derives thousands of shards from the
+        // same rule. The conf is restored after the drain (the partition
+        // count is latched into the NEW checkpoint at first batch, so a
+        // fresh-checkpoint run like this one is free to choose it).
+        val saved = s.conf.get("spark.sql.shuffle.partitions")
+        val stateParts = math.max(2L, math.min(
+          s.sparkContext.defaultParallelism.toLong, 2L * nDocs / 100000L + 1L)).toInt
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", stateParts)
+          graft.streaming.StreamingExtract.run(s, inDir,
+            base.resolve("out").toString, base.resolve("ck").toString,
+            CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet,
+            availableNow = true, dedup = true)
+            .awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
         auxDump(s.read.parquet(inDir).select("url"), "q40_in")
         val sinkRows = s.read.parquet(base.resolve("out").toString)
           .select("url", "kind", "total_word_count", "ok")
@@ -2158,8 +2206,9 @@ object Queries {
         SwapCache.release("q41")
         val base = t(s, dir, "documents")
           .selectExpr("doc_id AS id", s"$SparkToks AS toks")
-        // grams feeds the posting explode AND both confirm sides;
-        // prefix feeds both sides of the candidate self-join
+        // grams feeds the posting explode (freq, prefix, gram-id table);
+        // prefix feeds both sides of the candidate self-join; gsi feeds
+        // both confirm sides
         val grams = base.unionByName(
             base.selectExpr(s"id + $mOff AS id", "slice(toks, 2, size(toks)) AS toks"))
           .selectExpr("id", s"$sparkBigrams AS gs")
@@ -2167,19 +2216,36 @@ object Queries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val posting = grams.selectExpr("id", "sz", "explode(gs) AS g")
         val freq = posting.groupBy("g").agg(count(lit(1)).as("df"))
+        // dense integer gram ids, assigned in the global (df, g) prefix
+        // order so ORDER BY gid below ranks exactly like ORDER BY (df, g)
+        // and the candidate equi-join keys become ints. The single-
+        // partition dictionary window is bounded by |distinct grams| —
+        // fine for the bounded/per-block corpora q41 is documented for
+        // (the gram dictionary of one block, not of 100 TB).
+        val dict = freq.withColumn("gid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("df", "g")))
+        val ranked = posting.join(dict.select("g", "gid"), Seq("g"))
         val wDoc = org.apache.spark.sql.expressions.Window
-          .partitionBy("id").orderBy("df", "g")
-        val prefix = posting.join(freq, Seq("g"))
+          .partitionBy("id").orderBy("gid")
+        val prefix = ranked
           .withColumn("rn", row_number().over(wDoc))
           .filter("rn <= sz - ((9 * sz + 9) DIV 10) + 1")
-          .select("id", "sz", "g", "rn")
+          .select("id", "sz", "gid", "rn")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        SwapCache.swap("q41")(grams, prefix)
+        // per-doc gram-id SETS as sorted long arrays: the confirm stage's
+        // input, 5x narrower than the string arrays and merge-walkable
+        // (SortedOverlapI64 scaladoc). gid<->gram is a bijection, so the
+        // overlap/union counts are exactly the string-set ones.
+        val gsi = ranked.groupBy("id")
+          .agg(max("sz").as("sz"),
+            sort_array(collect_list(col("gid").cast("long"))).as("gsi"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        SwapCache.swap("q41")(grams, prefix, gsi)
         // candidate join with PPJoin's length + positional filters:
         // overlap bound alpha = ceil(9*(szA+szB)/19)
-        val cand = prefix.selectExpr("id AS id_a", "sz AS sz_a", "g", "rn AS rn_a")
-          .join(prefix.selectExpr("id AS id_b", "sz AS sz_b", "g AS g2", "rn AS rn_b"),
-            expr("g = g2 AND id_a < id_b" +
+        val cand = prefix.selectExpr("id AS id_a", "sz AS sz_a", "gid", "rn AS rn_a")
+          .join(prefix.selectExpr("id AS id_b", "sz AS sz_b", "gid AS gid2", "rn AS rn_b"),
+            expr("gid = gid2 AND id_a < id_b" +
               " AND 9 * sz_a <= 10 * sz_b AND 9 * sz_b <= 10 * sz_a" +
               " AND 1 + least(sz_a - rn_a, sz_b - rn_b) >= (9 * (sz_a + sz_b) + 18) DIV 19"))
           .select("id_a", "id_b").distinct()
@@ -2192,18 +2258,18 @@ object Queries {
         val obs = org.apache.spark.sql.Observation()
         q41LastObs.set(obs)
         val candObserved = cand.observe(obs, count(lit(1)).as("n"))
-        // ONE set pass per candidate (DistinctOverlap scaladoc): gs is an
-        // array_distinct output, so |A ∪ B| = sz_a + sz_b - |A ∩ B|
-        // exactly, and the former array_intersect + array_union double
-        // pass (two set builds + two materialized arrays per candidate —
-        // the confirm stage's CPU at 716k candidates) collapses to one
-        // membership count. The exact RATIONAL tau gate and the e4
-        // arithmetic are unchanged in value: ni/nu are the same integers,
-        // only now computed as longs.
+        // ONE merge walk per candidate (SortedOverlapI64 scaladoc): the
+        // former array_intersect + array_union string double pass (two
+        // hash-set builds + two materialized arrays per candidate — the
+        // confirm stage's CPU at 716k candidates) is now a linear walk
+        // over two sorted long arrays, and |A ∪ B| = sz_a + sz_b - |A ∩ B|
+        // (exact — gs is distinct and gid bijective). The exact RATIONAL
+        // tau gate and the e4 arithmetic are unchanged in value: ni/nu
+        // are the same integers, only now computed as longs.
         candObserved
-          .join(grams.selectExpr("id AS id_a", "gs AS gs_a", "sz AS sz_a"), Seq("id_a"))
-          .join(grams.selectExpr("id AS id_b", "gs AS gs_b", "sz AS sz_b"), Seq("id_b"))
-          .withColumn("ni", GraftFunctions.distinct_overlap(col("gs_a"), col("gs_b")))
+          .join(gsi.selectExpr("id AS id_a", "gsi AS gs_a", "sz AS sz_a"), Seq("id_a"))
+          .join(gsi.selectExpr("id AS id_b", "gsi AS gs_b", "sz AS sz_b"), Seq("id_b"))
+          .withColumn("ni", GraftFunctions.sorted_overlap_i64(col("gs_a"), col("gs_b")))
           .selectExpr("id_a", "id_b", "ni", "CAST(sz_a + sz_b AS BIGINT) - ni AS nu")
           .filter("10 * ni >= 9 * nu")
           .selectExpr("id_a", "id_b",
