@@ -47,8 +47,9 @@ private[graft] object CycleCanary {
     }
     val ms = (System.nanoTime() - t0) / 1000000L
     // splitmix64 is a bijective mixer seeded by the loop index chain; an
-    // all-zero accumulator after 6e8 xors is practically impossible, so
-    // this branch never fires — it only anchors `acc` as observably live
+    // all-zero accumulator after the full Iters xor chain is practically
+    // impossible, so this branch never fires — it only anchors `acc` as
+    // observably live
     if (acc == 0L) System.err.println("[canary] zero checksum")
     ms
   }

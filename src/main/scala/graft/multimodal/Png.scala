@@ -132,7 +132,14 @@ object Png {
       var got = 0
       while (got < rawLen && !inf.finished()) {
         val n = inf.inflate(raw, got, rawLen - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // ANY zero-progress iteration is a failure, not just needsInput
+        // (round-7 ADVICE): output space is always > 0 inside this loop,
+        // so n == 0 without finished() means the stream is truncated OR
+        // stalled — e.g. a zlib header with the FDICT preset-dictionary
+        // flag makes inflate() return 0 with needsInput() false forever,
+        // which spun this loop into an executor-task hang on adversarial
+        // crawl bytes (never-throw/never-hang contract)
+        if (n == 0) return None
         got += n
       }
       if (got != rawLen) return None

@@ -970,8 +970,15 @@ object Queries {
     "q17_extract_verify",
     (s, _) => {
       val n = 1200L
+      // numPartitions = 0: parse on the generator splits (guide §2.4 —
+      // remove shuffles outright). The old 32-way url-hash repartition
+      // shuffled every page's html bytes before parsing, buying nothing
+      // here: the synthesized input is already uniformly split, the
+      // salted route's skew defense is exercised by the bench skew legs
+      // and PipelineSpec, and extraction is per-row, so the verdict
+      // rollup is identical either way.
       val extractedDf = ExtractPipeline
-        .extract(ExtractPipeline.pages(s, n), numPartitions = 32)
+        .extract(ExtractPipeline.pages(s, n), numPartitions = 0)
         .toDF().select("url", "kind", "extracted_text")
       val goldensDf = ExtractPipeline.goldens(s, n).select("url", "extracted_text")
       val (e, g) =

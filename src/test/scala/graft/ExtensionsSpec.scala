@@ -45,4 +45,49 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("distinct_overlap equals size(array_intersect) on distinct arrays (incl. null/empty edges)") {
+    // the r8 confirm-stage expression: its contract is exact equality
+    // with size(array_intersect(a, b)) for distinct-element arrays,
+    // null-element edge included (counts iff both sides hold one)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { i =>
+      def arr(seed: Int): Seq[String] = {
+        val n = if ((i + seed) % 11 == 0) 0 else rnd.nextInt(30)
+        val base = scala.util.Random.shuffle(
+          (0 until 60).map(k => s"w$k").toList).take(n)
+        if ((i + seed) % 7 == 0 && n > 0) base.updated(0, null) else base
+      }
+      (i.toLong, arr(0), arr(3))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.functions.GraftFunctions.distinct_overlap(col("a"), col("b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.selectExpr("id", "CAST(size(array_intersect(a, b)) AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("sorted_overlap_i64 equals size(array_intersect) on sorted distinct long arrays") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 300).map { i =>
+      def arr(): Seq[Long] = {
+        val n = if (i % 13 == 0) 0 else rnd.nextInt(40)
+        scala.util.Random.shuffle((0L until 80L).toList).take(n).sorted
+      }
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.functions.GraftFunctions.sorted_overlap_i64(col("a"), col("b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.selectExpr("id", "CAST(size(array_intersect(a, b)) AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }

@@ -57,6 +57,42 @@ class PngSpec extends AnyFunSuite {
     assert(graft.multimodal.BinaryFeatures.pixelMeanE4(r.pixels) == 1275000L)
   }
 
+  test("FDICT zlib stream fails cleanly instead of spinning the inflate loop") {
+    // round-7 ADVICE (medium): a zlib header with the preset-dictionary
+    // flag makes Inflater.inflate() return 0 with needsInput() false and
+    // finished() false — the old loop condition only bailed on
+    // needsInput, so this input spun a task forever. Craft it from a
+    // valid PNG by patching the IDAT zlib header: set FDICT (bit 5 of
+    // FLG) and refix FCHECK so (CMF*256+FLG) % 31 == 0, then refix the
+    // chunk CRC (the CRC covers attacker-controlled bytes, so a real
+    // adversary ships a valid CRC too).
+    val good = Png.encode(8, 8, 3, Array.tabulate(192)(j => (j * 3).toByte))
+    // locate the IDAT chunk: walk chunks from offset 8
+    var off = 8
+    var idatData = -1
+    var idatLen = -1
+    while (idatData < 0) {
+      val len = ((good(off) & 0xff) << 24) | ((good(off + 1) & 0xff) << 16) |
+        ((good(off + 2) & 0xff) << 8) | (good(off + 3) & 0xff)
+      val typ = new String(good, off + 4, 4, "US-ASCII")
+      if (typ == "IDAT") { idatData = off + 8; idatLen = len }
+      else off += 12 + len
+    }
+    val evil = good.clone()
+    val cmf = evil(idatData) & 0xff
+    var flg = (evil(idatData + 1) & 0xff) | 0x20 // set FDICT
+    flg = (flg & 0xe0) | ((31 - (cmf * 256 + (flg & 0xe0)) % 31) % 31) // refix FCHECK
+    evil(idatData + 1) = flg.toByte
+    fixCrc(evil, idatData, idatLen)
+    // must return None promptly — a regression here HANGS, so run it on
+    // a bounded future
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val res = Await.result(Future(Png.decode(evil)), 10.seconds)
+    assert(res.isEmpty, "FDICT stream must fail decode")
+  }
+
   test("every single-byte corruption decodes to None, never throws") {
     val good = Png.encode(8, 8, 3, Array.tabulate(192)(j => (j * 7).toByte), 4)
     assert(Png.decode(good).isDefined)

@@ -93,9 +93,18 @@ def main(argv):
             print(f"{name:<{width}}  base={base:7.3f}s  "
                   f"ratio best={best:5.2f} worst={worst:5.2f}{mark}")
 
-    # headline wall (extract_sec): same consistency rule
+    # headline wall (extract_sec): same consistency rule. A NEW run
+    # MISSING extract_sec hard-fails like a vanished query (round-7
+    # ADVICE: the silent filter let a truncated new file pass the
+    # headline gate with no output — partial vanishing is still
+    # vanishing).
     hb = canon.get("extract_sec")
     if hb:
+        truncated = [i for i, n in enumerate(news) if not n.get("extract_sec")]
+        if truncated:
+            print(f"extract_sec MISSING from new run(s) {truncated} — "
+                  "truncated bench output")
+            sys.exit(2)
         hr = [n.get("extract_sec", 0) / hb for n in news if n.get("extract_sec")]
         if hr:
             h_best = min(hr)
