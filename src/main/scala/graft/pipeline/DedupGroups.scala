@@ -26,11 +26,31 @@ object DedupGroups {
       .union(pairs.toDF("b", "a").select(col("a"), col("b")))
       .distinct()
       .persist()
-    // label(v) starts as v's own id
+    // size the HOP shuffles from the edge count, not the session core
+    // count (guide §2: derive partitioning from input size — the q40
+    // state-shard rule). Every per-hop job (neighbor join + groupBy,
+    // jump join, checkpoint materialization, convergence probe) runs
+    // 2-4x per iteration over data bounded by |edges|; at 32 session
+    // partitions a few-hundred-edge graph pays ~100 near-empty tasks
+    // per hop (measured at sf0.1: 26.5 s of process CPU for ~1.2k
+    // directed edges — almost all task/scheduler overhead). ~100k edge
+    // rows per partition before adding partitions, clamped to the
+    // session's configured parallelism so a 100 TB edge set still fans
+    // out fully. The count() is one job over the just-persisted tiny
+    // projection — the same bounded-metadata cost class as q15's
+    // max(doc_id) guard. Conf is restored after the loop; the labels
+    // returned to callers are localCheckpoint'd RDD-backed frames, so
+    // downstream consumers are unaffected by the temporary setting.
+    val nEdges = edges.count()
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val hopParts = math.max(2L, math.min(
+      saved.toLong, nEdges / 100000L + 1L)).toInt
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("rep", col("id"))
     var converged = false
     var i = 0
+    try {
+    spark.conf.set("spark.sql.shuffle.partitions", hopParts)
     while (!converged && i < maxIters) {
       // each vertex takes min(own label, neighbors' labels); `prev`
       // (the incoming label) rides along so the convergence probe below
@@ -44,10 +64,18 @@ object DedupGroups {
         .agg(min("nrep").as("nbrMin"))
       // eager localCheckpoint truncates the logical plan each iteration —
       // without it the self-joins double the plan tree per hop and the
-      // analyzer stack-overflows around iteration 10
+      // analyzer stack-overflows around iteration 10.
+      // The moved-row count rides INSIDE the checkpoint job as a
+      // CollectMetrics observation (the q41 candidate-probe pattern):
+      // the former standalone probe was one extra driver-round-trip job
+      // per hop — ~25% of the loop's job count for a pure scan of
+      // blocks the checkpoint had just cached (measured: the tiny-graph
+      // loop floor is per-JOB latency, not per-task width).
+      val obs = org.apache.spark.sql.Observation()
       val hop = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), col("rep").as("prev"),
           least(col("rep"), coalesce(col("nbrMin"), col("rep"))).as("rep"))
+        .observe(obs, count(when(col("rep") =!= col("prev"), 1)).as("moved"))
         .localCheckpoint(true)
       // probe BEFORE the pointer jump: a hop that moved nothing means
       // labels were already the fixpoint (min(own, neighbors) == own for
@@ -56,7 +84,7 @@ object DedupGroups {
       // the jump only ACCELERATES convergence, it cannot create
       // movement at a hop fixpoint (rep is the component min, whose own
       // label is itself)
-      converged = hop.filter(col("rep") =!= col("prev")).limit(1).count() == 0
+      converged = movedCount(hop, obs) == 0L
       if (!converged) {
         // pointer jump (path halving): rep <- label(rep), contracting
         // chains geometrically so convergence is O(log diameter), not
@@ -68,6 +96,7 @@ object DedupGroups {
       } else labels = hop.select(col("id"), col("rep"))
       i += 1
     }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     edges.unpersist()
     // fail-loud on an exhausted hop budget (the file's q15/q16/q26 guard
     // convention): the final probe at i == maxIters - 1 already measured
@@ -79,6 +108,26 @@ object DedupGroups {
         "component's diameter exceeds the hop budget (with path halving, " +
         s"depth > ~2^$maxIters); raise maxIters for this graph")
     labels
+  }
+
+  /** Moved-row count of one hop: read the observation the checkpoint job
+    * just populated; if the listener bus has not delivered it within ~2 s
+    * (observation results are async — the q41CandidateCount caveat), fall
+    * back to the explicit scan of the checkpointed blocks. The fallback
+    * preserves exactness: the observation is an optimization of the probe,
+    * never its only source of truth. */
+  private def movedCount(
+      hop: DataFrame, obs: org.apache.spark.sql.Observation): Long = {
+    val fut = obs.future
+    var left = 20
+    while (!fut.isCompleted && left > 0) { Thread.sleep(100); left -= 1 }
+    fut.value match {
+      case Some(scala.util.Success(row)) =>
+        row.getLong(row.fieldIndex("moved"))
+      case _ =>
+        System.err.println("[cc] observation not delivered — fallback probe")
+        hop.filter(col("rep") =!= col("prev")).limit(1).count()
+    }
   }
 
   /** Group summary: representative, exact member count, members (bounded).

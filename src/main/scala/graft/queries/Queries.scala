@@ -2342,7 +2342,18 @@ object Queries {
           // chr(1) separator: spans are human text, so the control char
           // cannot occur and concatenation stays boundary-unambiguous
           "array_join(citation_spans, chr(1)) AS spans_str", "n_bytes")
+      // release-first (SwapCache.release scaladoc)
+      SwapCache.release("q42")
+      // the synthesized heavy-tail corpus feeds THREE actions (the plain
+      // extract, byteWeightedRoute's per-url cost stats pass, and the
+      // routed extract) — unpersisted, each one re-runs the full
+      // generation including the ~12 giant tiled pages (guide §5:
+      // persist only when reused AND recompute is expensive; both hold
+      // here). ~25-40 MB at the fixture size; at scale this is the
+      // pre-existing pages table both variants would read anyway.
       val pages = ExtractPipeline.heavyTailPages(s, n, 32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      SwapCache.swap("q42")(pages.toDF())
       val plain = auxTable(s, dumpCols(
         ExtractPipeline.extractAndScore(pages, 32, target, bycatch).toDF()),
         "q42_plain")

@@ -293,4 +293,37 @@ class GraftTableSpec extends AnyFunSuite with SparkTestBase {
     val total = "\"total_docs\": (\\d+)".r.findFirstMatchIn(lastJson).map(_.group(1).toLong)
     assert(total.contains(80L), s"last snapshot total_docs=$total, want 80")
   }
+
+  // round-8 optimization pin: the per-wave lineage-metrics aggregation
+  // caps its shuffle width at the wave size (the agg can never have more
+  // groups than the wave has buckets). The cap must not leak into the
+  // session conf, and the lineage values must be byte-identical to the
+  // uncapped shape — runResumable under a deliberately odd session
+  // partition count still produces the exact per-bucket rollup.
+  test("r8: wave-capped metrics agg restores conf, lineage exact") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "13")
+      val root = java.nio.file.Files.createTempDirectory("graft_tbl_cap").toString
+      val report = GraftTable.runResumable(
+        spark, ExtractPipeline.pages(spark, 120, 4), root,
+        nBuckets = 6, bucketsPerWave = 3,
+        CorpusGen.TargetWords.toSet, CorpusGen.BycatchWords.toSet,
+        tasksPerWave = 4)
+      assert(report.docs == 120L)
+      assert(spark.conf.get(key) == "13",
+        s"metrics agg leaked its capped shuffle setting: ${spark.conf.get(key)}")
+      // lineage re-derived independently from the committed data files
+      val fromData = spark.read.parquet(s"$root/data")
+        .groupBy("bucket").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val fromLineage = spark.read.parquet(s"$root/lineage")
+        .select("bucket", "n_docs").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(fromLineage == fromData ++ (0 until 6)
+        .filterNot(fromData.contains).map(_ -> 0L).toMap)
+      graft.util.Fs.deleteRecursively(new java.io.File(root))
+    } finally spark.conf.set(key, saved)
+  }
 }
