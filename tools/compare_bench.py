@@ -6,7 +6,7 @@ per-query times against the previous canonical run — caught a real 2.4x
 q15 self-regression in round 6. This formalizes it as a command:
 
     python3 tools/compare_bench.py CANONICAL.json NEW.json [NEW2.json ...]
-                                   [--factor 2.0]
+                                   [--factor 2.0] [--driver]
 
 Compares every query in NEW against CANONICAL and exits nonzero when any
 query regressed by more than --factor in EVERY provided NEW file (one
@@ -15,8 +15,16 @@ pass two fresh bench_out.json files to require consistency, or one for a
 quick screen). Also flags headline (extract_sec) regressions and prints
 the full ratio table sorted by ratio.
 
-Exit codes: 0 = no consistent regression; 1 = regression(s); 2 = usage /
-missing keys.
+--driver (round-7 verdict "next round" #3): diagnostic mode for a DRIVER
+artifact vs the canonical band — prints the per-query driver/canonical
+ratio table and the DIVERGENCE SET (queries whose ratio exceeds the
+factor), annotated with the driver run's own telemetry (cycle delivery,
+gc/cpu) so the "driver runs are always sick at the tail" pattern is a
+diffable fact instead of verdict archaeology. Always exits 0: the driver
+artifact is evidence to be classified, not a gate to fail.
+
+Exit codes: 0 = no consistent regression (or --driver mode); 1 =
+regression(s); 2 = usage / missing keys.
 """
 import json
 import sys
@@ -27,8 +35,51 @@ def load(path):
         return json.load(f)
 
 
+def driver_mode(canon_path, driver_path, factor):
+    """Per-query driver-vs-canonical divergence report (never a gate)."""
+    canon, drv = load(canon_path), load(driver_path)
+    cq, dq = canon.get("queries", {}), drv.get("queries", {})
+    if not cq or not dq:
+        print("both files need a 'queries' block")
+        return 2
+    tel = drv.get("query_telemetry", {})
+    rows = []
+    for name, base in sorted(cq.items()):
+        d = dq.get(name)
+        if d is None or base <= 0:
+            rows.append((name, base, d, None))
+        else:
+            rows.append((name, base, d, d / base))
+    width = max(len(r[0]) for r in rows)
+    diverged = []
+    for name, base, d, ratio in sorted(rows, key=lambda r: -(r[3] or 0)):
+        t = tel.get(name, {})
+        extra = ""
+        if t:
+            extra = f"  gc={t.get('gc_ms', -1)}ms cpu={t.get('cpu_ms', -1)}ms"
+            if isinstance(t.get("retry"), dict):
+                extra += f" retry={t['retry'].get('sec')}s"
+        if ratio is None:
+            print(f"{name:<{width}}  canonical={base!s:>7}  driver=MISSING")
+            continue
+        mark = f"  <-- DIVERGED (> {factor}x)" if ratio > factor else ""
+        if ratio > factor:
+            diverged.append(name)
+        print(f"{name:<{width}}  canonical={base:7.3f}s  driver={d:7.3f}s  "
+              f"ratio={ratio:5.2f}{mark}{extra}")
+    cd = drv.get("headline", {}).get("cycle_delivery")
+    nd = drv.get("headline", {}).get("docs_per_sec_normalized")
+    print(f"\ndriver cycle_delivery={cd} docs_per_sec_normalized={nd}")
+    if diverged:
+        print(f"divergence set ({len(diverged)}): {', '.join(diverged)}")
+    else:
+        print("divergence set: empty — driver run is inside the canonical band")
+    return 0
+
+
 def main(argv):
     factor = 2.0
+    driver = False
     args = []
     i = 0
     while i < len(argv):
@@ -39,12 +90,20 @@ def main(argv):
                 return 2
             factor = float(argv[i + 1])
             i += 2
+        elif argv[i] == "--driver":
+            driver = True
+            i += 1
         else:
             args.append(argv[i])
             i += 1
     if len(args) < 2:
         print(__doc__)
         return 2
+    if driver:
+        if len(args) != 2:
+            print("--driver takes exactly CANONICAL.json DRIVER.json")
+            return 2
+        return driver_mode(args[0], args[1], factor)
 
     canon = load(args[0])
     news = [load(p) for p in args[1:]]
